@@ -82,6 +82,8 @@ def generate_transcripts(n_convs: int = 20,
     df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
                                      "tool", "ts"])
     df["turn_idx"] = df["turn_idx"].astype("int32")
+    # µs precision: Spark's parquet TimestampType reader rejects ns INT64
+    df["ts"] = df["ts"].astype("datetime64[us]")
     return df
 
 

@@ -1,0 +1,136 @@
+"""Canonicalization (SURVEY B6): per-entity class-score aggregation up the
+ontology tree, production agg ``parent_children_funcs(np.mean, max)``
+(``Duke/DukeRestListener.py:37-39``).
+
+Scale shape (SURVEY §4): the per-mention score matrix NEVER leaves the
+Python workers. Because scoring is linear, the per-entity mean over all
+mention occurrences equals the count-weighted mean over DISTINCT mention
+strings — so the only shuffle is ``groupBy(entity, mention).count()``
+(tiny: bounded by distinct mention text), followed by an
+``applyInPandas`` re-score per entity group (≤ C groups) emitting one
+C-float row per entity. The ≤788×788-float result is collected and folded
+on the driver exactly like the reference
+(``Duke/dataset_descriptor.py:99-107`` → ``Duke/class_tree.py:63-91``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duke_spark.kernel.tree import PRODUCTION_TREE_AGG, aggregate_tree_scores
+from duke_spark.operators.linking import LinkContext, score_mentions_batch
+
+_ENTITY_SCORES_SCHEMA = T.StructType([
+    T.StructField("entity", T.StringType()),
+    T.StructField("n_mentions", T.LongType()),
+    T.StructField("mean_scores", T.ArrayType(T.DoubleType())),
+])
+
+
+def entity_mean_scores(mentions: DataFrame, ctx_bc) -> DataFrame:
+    """(entity, n_mentions, mean class-score vector) — distributed part."""
+    counts = (mentions
+              .groupBy("entity", "mention")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ctx: LinkContext = ctx_bc.value
+        mean_vec = score_mentions_batch(pdf["mention"], pdf["cnt"], ctx)
+        return pd.DataFrame({
+            "entity": [pdf["entity"].iloc[0]],
+            "n_mentions": [int(pdf["cnt"].sum())],
+            "mean_scores": [mean_vec.tolist()],
+        })
+
+    return counts.groupBy("entity").applyInPandas(
+        agg_group, schema=_ENTITY_SCORES_SCHEMA)
+
+
+def canonical_types(mentions: DataFrame, ctx_bc,
+                    tree_agg=PRODUCTION_TREE_AGG) -> pd.DataFrame:
+    """Collect per-entity mean vectors (≤ C rows) and fold each up the tree
+    on the driver; returns pandas (entity, canonical_type, n_mentions)."""
+    ctx: LinkContext = ctx_bc.value
+    rows = entity_mean_scores(mentions, ctx_bc).collect()
+    out = []
+    for r in rows:
+        vec = np.asarray(r["mean_scores"], dtype=np.float64)
+        agg = aggregate_tree_scores(ctx.classes, vec, ctx.tree, tree_agg)
+        out.append((r["entity"], ctx.classes[int(np.argmax(agg))],
+                    r["n_mentions"]))
+    return (pd.DataFrame(out, columns=["entity", "canonical_type",
+                                       "n_mentions"])
+            .sort_values("entity").reset_index(drop=True))
+
+
+def canonical_types_df(spark, mentions: DataFrame, ctx_bc,
+                       tree_agg=PRODUCTION_TREE_AGG) -> DataFrame:
+    """Spark DataFrame form, broadcast-join-able against vertices."""
+    pdf = canonical_types(mentions, ctx_bc, tree_agg)
+    schema = T.StructType([
+        T.StructField("entity", T.StringType()),
+        T.StructField("canonical_type", T.StringType()),
+        T.StructField("n_mentions", T.LongType()),
+    ])
+    if len(pdf) == 0:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(pdf, schema)
+
+
+def conversation_class_scores(mentions: DataFrame, ctx_bc) -> DataFrame:
+    """Per-conversation mean class-score vector (the distributed analogue of
+    Duke's per-source row aggregation, ``Duke/dataset_descriptor.py:73-74``)
+    — reused by the flagship 'what is this conversation about?' query."""
+    counts = (mentions
+              .groupBy("conv_id", "mention")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("n_mentions", T.LongType()),
+        T.StructField("mean_scores", T.ArrayType(T.DoubleType())),
+    ])
+
+    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ctx: LinkContext = ctx_bc.value
+        mean_vec = score_mentions_batch(pdf["mention"], pdf["cnt"], ctx)
+        return pd.DataFrame({
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "n_mentions": [int(pdf["cnt"].sum())],
+            "mean_scores": [mean_vec.tolist()],
+        })
+
+    return counts.groupBy("conv_id").applyInPandas(agg_group, schema=schema)
+
+
+def describe_conversations(spark, mentions: DataFrame, ctx_bc,
+                           tree_agg=PRODUCTION_TREE_AGG) -> DataFrame:
+    """Per-conversation canonical topic — Duke's summary sentence
+    (``Duke/dataset_descriptor.py:82-88``) over the mention path."""
+    from duke_spark.kernel.text import pluralize
+
+    ctx: LinkContext = ctx_bc.value
+    rows = conversation_class_scores(mentions, ctx_bc).collect()
+    out = []
+    for r in rows:
+        vec = np.asarray(r["mean_scores"], dtype=np.float64)
+        agg = aggregate_tree_scores(ctx.classes, vec, ctx.tree, tree_agg)
+        top = ctx.classes[int(np.argmax(agg))]
+        out.append((r["conv_id"], top,
+                    f"This conversation is about {pluralize(top)}.",
+                    r["n_mentions"]))
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("n_mentions", T.LongType()),
+    ])
+    if not out:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(sorted(out), schema)

@@ -1,0 +1,99 @@
+"""spark-submit entry: build the knowledge graph from a transcript table.
+
+Usage (sandbox two-scale proxy, SURVEY B11):
+    spark-submit --py-files dist/duke_spark.zip jobs/build_kg.py \
+        --input /path/transcripts.parquet --out /tmp/kg --parallelism 8
+    python jobs/build_kg.py --convs 2000 --out /tmp/kg --parallelism 32
+
+With --convs N (no --input) a deterministic synthetic transcript table is
+generated (seed 42, 30% hot-conversation skew) so both cluster sizes see
+the identical input. Emits one JSON line of metrics (triples/sec etc.).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="transcripts parquet path (or iceberg table with --format iceberg)")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--convs", type=int, default=500,
+                    help="synthesize this many conversations if no --input")
+    ap.add_argument("--max-turns", type=int, default=24)
+    ap.add_argument("--hot-frac", type=float, default=0.3)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--parallelism", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--num-parts", type=int, default=64)
+    ap.add_argument("--graph", action="store_true",
+                    help="also materialize vertices/edges parquet")
+    args = ap.parse_args()
+
+    from duke_spark.config import get_spark
+    from duke_spark.pipeline import build_kg, make_context
+    from duke_spark.plans.checkpoint import TripleCheckpoint
+    from duke_spark.plans.metrics import StageMetrics
+    from duke_spark.sources.transcripts import read_transcripts
+
+    spark = get_spark("build_kg", master=f"local[{args.parallelism}]",
+                      shuffle_partitions=max(8, args.parallelism))
+    metrics = StageMetrics()
+
+    if args.input:
+        transcripts = read_transcripts(spark, args.input, args.format)
+        input_desc = args.input
+    else:
+        from duke_spark.fixtures.transcripts import (generate_transcripts,
+                                                     spark_transcripts)
+        pdf = generate_transcripts(n_convs=args.convs,
+                                   max_turns=args.max_turns, seed=42,
+                                   hot_frac=args.hot_frac)
+        src = os.path.join(args.out, "_input", "transcripts.parquet")
+        os.makedirs(os.path.dirname(src), exist_ok=True)
+        pdf.to_parquet(src, index=False)
+        transcripts = read_transcripts(spark, src)
+        input_desc = f"synthetic(convs={args.convs}, turns={len(pdf)})"
+    # repartition to the worker count so the narrow UDF stage uses all cores
+    transcripts = transcripts.repartition(args.parallelism * 2).persist()
+    n_turns = transcripts.count()
+
+    ck = TripleCheckpoint(args.out, num_parts=args.num_parts)
+    t0 = time.time()
+    res = ck.run(spark, transcripts, make_context(spark),
+                 input_path=input_desc)
+    elapsed = time.time() - t0
+    n_triples = res["rows"]
+    metrics.record("triples", rows=n_triples, wall_seconds=elapsed,
+                   triples_per_sec=n_triples / elapsed if elapsed else 0.0,
+                   turns=n_turns, parallelism=args.parallelism,
+                   skipped_parts=res["skipped"])
+
+    if args.graph:
+        ctx_bc = make_context(spark)
+        with metrics.time_stage("graph"):
+            kg = build_kg(spark, transcripts, ctx_bc)
+            kg["vertices"].write.mode("overwrite").parquet(
+                os.path.join(args.out, "vertices"))
+            kg["edges"].write.mode("overwrite").parquet(
+                os.path.join(args.out, "edges"))
+
+    print(json.dumps({"job": "build_kg", "input": input_desc,
+                      "turns": int(n_turns), "triples": int(n_triples),
+                      "elapsed_sec": round(elapsed, 3),
+                      "triples_per_sec": round(n_triples / elapsed, 1)
+                      if elapsed else None,
+                      "parallelism": args.parallelism,
+                      "stages": metrics.harvest()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

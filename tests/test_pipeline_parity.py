@@ -1,0 +1,93 @@
+"""Spark pipeline vs NumPy oracle: the P/R ≥ 0.95 gate (BASELINE.md) —
+on sub-cap fixtures parity must be exact (P = R = 1.0)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from duke_spark.kernel.oracle import (oracle_canonical_types,
+                                      oracle_mentions, oracle_triples,
+                                      triple_prf)
+from duke_spark.operators.canonical import canonical_types
+from duke_spark.operators.mentions import linked_mentions
+from duke_spark.operators.triples import (extract_triples,
+                                          triples_from_mentions)
+
+KEY = ["conv_id", "turn_idx", "mention_id"]
+
+
+@pytest.fixture(scope="module")
+def spark_mentions(spark, tiny_transcripts, ctx_bc):
+    return linked_mentions(tiny_transcripts, ctx_bc).toPandas()
+
+
+@pytest.fixture(scope="module")
+def expected_mentions(oracle_ctx, tiny_transcripts_pdf):
+    return oracle_mentions(oracle_ctx, tiny_transcripts_pdf)
+
+
+def test_mentions_match_oracle(spark_mentions, expected_mentions):
+    got = spark_mentions.sort_values(KEY).reset_index(drop=True)
+    exp = expected_mentions.sort_values(KEY).reset_index(drop=True)
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got[KEY + ["mention", "entity"]], exp[KEY + ["mention", "entity"]],
+        check_dtype=False)
+    np.testing.assert_allclose(got["entity_score"].to_numpy(),
+                               exp["entity_score"].to_numpy(), atol=1e-5)
+
+
+def test_triples_one_pass_prf(spark, tiny_transcripts, tiny_transcripts_pdf,
+                              ctx_bc, oracle_ctx):
+    got = extract_triples(tiny_transcripts, ctx_bc).toPandas()
+    exp = oracle_triples(oracle_ctx, tiny_transcripts_pdf)
+    prf = triple_prf(exp, got)
+    assert prf["precision"] == 1.0 and prf["recall"] == 1.0, prf
+    # multiset check too: same number of rows
+    assert len(got) == len(exp)
+
+
+def test_triples_declarative_equals_one_pass(spark, tiny_transcripts,
+                                             ctx_bc):
+    one = extract_triples(tiny_transcripts, ctx_bc)
+    two = triples_from_mentions(linked_mentions(tiny_transcripts, ctx_bc))
+    key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    a = one.toPandas().sort_values(key + ["score"]).reset_index(drop=True)
+    b = two.toPandas().sort_values(key + ["score"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a[key], b[key])
+    np.testing.assert_allclose(a["score"], b["score"], atol=1e-6)
+
+
+def test_canonical_types_match_oracle(spark, tiny_transcripts, ctx_bc,
+                                      oracle_ctx, tiny_transcripts_pdf,
+                                      expected_mentions):
+    mentions = linked_mentions(tiny_transcripts, ctx_bc)
+    got = canonical_types(mentions, ctx_bc)
+    exp = oracle_canonical_types(oracle_ctx, expected_mentions)
+    got_map = dict(zip(got["entity"], got["canonical_type"]))
+    assert got_map == exp
+
+
+def test_stable_order_invariant(spark, tiny_transcripts_pdf, ctx_bc,
+                                oracle_ctx):
+    """Per-turn output equality under shuffled input order (input_hint
+    invariant): triples must be identical as a set regardless of row
+    order or partitioning."""
+    from duke_spark.fixtures.transcripts import spark_transcripts
+
+    shuffled = tiny_transcripts_pdf.sample(frac=1.0, random_state=9)
+    df = spark_transcripts(spark, shuffled).repartition(7)
+    got = extract_triples(df, ctx_bc).toPandas()
+    exp = oracle_triples(oracle_ctx, tiny_transcripts_pdf)
+    prf = triple_prf(exp, got)
+    assert prf["precision"] == 1.0 and prf["recall"] == 1.0, prf
+
+
+def test_partition_count_invariance(spark, tiny_transcripts, ctx_bc):
+    a = extract_triples(tiny_transcripts.repartition(2), ctx_bc).toPandas()
+    b = extract_triples(tiny_transcripts.repartition(16), ctx_bc).toPandas()
+    key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key])
