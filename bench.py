@@ -1,0 +1,75 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports kg_triples_per_sec (the BASELINE.md headline throughput) as an
+extra key; the two-parallelism scaling evidence lives in
+scripts/scaling_run.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry  # noqa: E402
+from duke_spark.config import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_rollup",
+    "q5_argmax_per_group",
+    "q10_region_rollup",
+    "dedup_exact_docs",
+    "minhash_sig_docs",
+    "jaccard_pairs_docs",
+    "token_stats_docs",
+    "stopword_ratio_docs",
+    "ann_cosine_topk_docs",
+    "kg_triples_docs",
+    "kg_conv_topics",
+]
+
+
+def main() -> None:
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    spark = get_spark("bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(16, CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        if name == "kg_triples_docs" and dt > 0:
+            extras["kg_triples"] = n
+            extras["kg_triples_per_sec"] = round(n / dt, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

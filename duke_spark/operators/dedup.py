@@ -1,0 +1,183 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side built-ins (split/transform/slice/md5/xxhash64 —
+whole-stage codegen) except the batched MinHash matrix, which is NumPy
+inside mapInPandas. Shuffle shape notes per operator.
+
+  * exact_dedup        — hash-groupBy on content key; one shuffle.
+  * shingles           — word n-grams via transform/slice (no explode until
+                         the consumer needs it).
+  * minhash_signatures — k independent xxhash64 perms, min per perm;
+                         vectorized NumPy per Arrow batch; narrow stage.
+  * lsh_candidate_pairs— band the signature, groupBy band-hash; candidate
+                         pairs only within buckets (classic MinHash-LSH).
+  * ngram_jaccard_pairs— exact Jaccard via explode + self-join on shingle;
+                         SQL-expressible (oracle-checked in the driver
+                         contract); use for verification / small τ-sweeps,
+                         LSH for the 100 TB path.
+  * simhash64          — 64-bit SimHash from per-word md5 bits; Hamming
+                         bucket join for near-dups.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Survivors of exact-content dedup: min id per distinct content.
+    One hash-aggregate shuffle; AQE coalesces output partitions."""
+    return (df.groupBy(F.col(text_col))
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("n_copies"))
+            .select(id_col, text_col, "n_copies"))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  out_col: str = "shingles") -> DataFrame:
+    """Word n-gram shingles as array<string>; degenerate docs (<n words)
+    get one whole-text shingle. Pure Catalyst (split/sequence/transform)."""
+    words = F.split(F.col(text_col), " ")
+    n_sh = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return df.withColumn(out_col, shingles)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle_len: int = 3) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(i-th seed ⊕ shingle). Computed as one NumPy min-reduction per
+    Arrow batch (num_hashes × shingles matrix) — narrow stage, no shuffle.
+    """
+    base = with_shingles(df.select(id_col, text_col), text_col,
+                         n=shingle_len).select(id_col, "shingles")
+    seeds = np.arange(1, num_hashes + 1, dtype=np.uint64) * \
+        np.uint64(0x9E3779B97F4A7C15)
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("signature", T.ArrayType(T.LongType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_sigs = [], []
+            for doc_id, shingles in zip(pdf[id_col], pdf["shingles"]):
+                if len(shingles) == 0:
+                    continue
+                # vectorized: hash each shingle once, then mix with each
+                # seed via multiply-xor (splitmix-style), min per seed
+                h = np.fromiter(
+                    (np.uint64(hash64(s)) for s in shingles),
+                    dtype=np.uint64, count=len(shingles))
+                mixed = h[None, :] * seeds[:, None]
+                mixed ^= mixed >> np.uint64(33)
+                out_ids.append(doc_id)
+                out_sigs.append(mixed.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: out_ids, "signature": out_sigs})
+
+    return base.mapInPandas(run, schema=schema)
+
+
+def hash64(s: str) -> int:
+    """Stable 64-bit string hash (FNV-1a), process-independent."""
+    h = 0xCBF29CE484222325
+    for b in s.encode():
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates.
+    Shuffle keys are (band_idx, band_hash) — uniform by construction, so
+    no skew salting needed. Returns distinct (a, b) with a < b."""
+    rows_per_band = (F.size("signature") / F.lit(bands)).cast("int")
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"),
+                            (b * rows_per_band + F.lit(1)).cast("int"),
+                            rows_per_band).cast("string"),
+                    b))
+        ).alias("band_idx", "band_hash"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (left.join(right,
+                      (F.col("l.band_idx") == F.col("r.band_idx")) &
+                      (F.col("l.band_hash") == F.col("r.band_hash")) &
+                      (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("a"),
+                    F.col(f"r.{id_col}").alias("b"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs above threshold.
+    explode distinct shingles → self-join on shingle (AQE skew-join covers
+    hot shingles) → |A∩B| / (|A|+|B|−|A∩B|). Use LSH first at scale."""
+    sh = (with_shingles(df.select(id_col, text_col), text_col, n=n)
+          .select(id_col, F.explode(F.array_distinct("shingles"))
+                  .alias("shingle")))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (l.join(r, (F.col("l.shingle") == F.col("r.shingle")) &
+                     (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+              .groupBy(F.col(f"l.{id_col}").alias("a"),
+                       F.col(f"r.{id_col}").alias("b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
+    return (common.join(sa, "a").join(sb, "b")
+            .withColumn("jaccard",
+                        F.col("common") /
+                        (F.col("na") + F.col("nb") - F.col("common")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+def simhash64(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word md5 bits — per-bit majority vote of word
+    hashes. Vectorized NumPy per batch (words × 64 bit matrix)."""
+    words_df = df.select(id_col, F.split(F.col(text_col), " ").alias("w"))
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, words in zip(pdf[id_col], pdf["w"]):
+                if len(words) == 0:
+                    continue
+                h = np.fromiter((hash64(w) for w in words),
+                                dtype=np.uint64, count=len(words))
+                bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                votes = bits.sum(axis=0) * 2 >= len(words)
+                sig = np.uint64(0)
+                for i in np.flatnonzero(votes):
+                    sig |= np.uint64(1) << np.uint64(i)
+                ids.append(doc_id)
+                sigs.append(np.int64(sig))
+            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    return words_df.mapInPandas(run, schema=schema)

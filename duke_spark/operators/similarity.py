@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — exact baseline; dot product computed
+    JVM-side with zip_with/aggregate in DOUBLE, index order, so results
+    are bit-identical to a sequential double dot product (and to the
+    DuckDB oracle). TakeOrdered (orderBy+limit) avoids a full sort.
+  * LSH-bucketed ANN — random-hyperplane signs → bucket id; query probes
+    only its bucket (and optionally neighbors). The 100 TB path: the
+    bucket id is a pre-shuffle key, so the candidate scan is a partition-
+    pruned fraction of the corpus. Hyperplanes are seeded and broadcast.
+
+Embedding-based near-dup (cosine ≥ τ within LSH buckets) composes the
+two; the Duke anchor is the same unit-norm + dot kernel
+(``Duke/dataset_descriptor.py:57``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y:
+                                  x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def with_cosine(df: DataFrame, query_vec: Sequence[float],
+                vec_col: str = "embedding",
+                out_col: str = "cosine") -> DataFrame:
+    """Cosine similarity to a constant query vector, JVM-side in double."""
+    q = [float(x) for x in query_vec]
+    qn = float(np.sqrt(np.dot(q, q)))
+    qlit = F.array(*[F.lit(x) for x in q])
+    dot = _dot(F.col(vec_col), qlit)
+    norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    return df.withColumn(out_col, dot / (norm * F.lit(qn)))
+
+
+def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                ) -> DataFrame:
+    """Exact brute-force top-k by cosine (desc), ties by id asc.
+    orderBy+limit compiles to TakeOrdered — no global sort shuffle."""
+    return (with_cosine(df, query_vec, vec_col)
+            .select(id_col, "cosine")
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k))
+
+
+def lsh_bucket_ids(df: DataFrame, dim: int, num_planes: int = 8,
+                   seed: int = 7, vec_col: str = "embedding",
+                   out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane LSH bucket per row (sign pattern → int bucket).
+    NumPy matmul per Arrow batch; narrow stage."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes)).astype(np.float64)
+    out_fields = df.schema.fields + [T.StructField(out_col, T.IntegerType())]
+    schema = T.StructType(out_fields)
+    cols = [f.name for f in df.schema.fields]
+    weights = (1 << np.arange(num_planes, dtype=np.int64))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+            signs = (mat @ planes) >= 0
+            pdf = pdf[cols].copy()
+            pdf[out_col] = (signs @ weights).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def ann_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                    dim: int | None = None, num_planes: int = 8,
+                    seed: int = 7, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """ANN: probe only the query's LSH bucket (hamming-0 probe). At 100 TB
+    the bucket column is a partition key of the stored index, turning this
+    into partition pruning; here it's a pushable equality filter."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = dim or len(q)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, num_planes))
+    weights = (1 << np.arange(num_planes, dtype=np.int64))
+    qbucket = int(((q @ planes) >= 0) @ weights)
+    bucketed = lsh_bucket_ids(df, dim, num_planes, seed, vec_col)
+    return cosine_topk(bucketed.filter(F.col("bucket") == qbucket),
+                       query_vec, k, vec_col, id_col)
+
+
+def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
+                        dim: int = 64, num_planes: int = 12, seed: int = 7,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold, candidate-
+    limited to same LSH bucket (pairs split across buckets are missed —
+    the standard LSH recall tradeoff; raise num_planes/probes for recall).
+    Pair cosine computed NumPy-side per bucket group."""
+    bucketed = lsh_bucket_ids(df.select(id_col, vec_col), dim, num_planes,
+                              seed, vec_col)
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["a", "b", "cosine"])
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        sims = unit @ unit.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= threshold
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi, "cosine": sims[iu][mask]})
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        lambda pdf: pairs(pdf), schema=schema)

@@ -1,0 +1,85 @@
+"""Text-analysis operators for training-data pipelines — all JVM-side
+Catalyst built-ins (split/filter/transform/aggregate), no Python in the
+hot path. Each returns a DataFrame suitable for a driver-contract oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword sets for the n-gram/stopword language
+# heuristic (public common-word lists).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "in", "to", "is", "was", "on", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "de", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "para"],
+}
+
+
+def words_col(text_col: str = "text"):
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword estimate (≈ chars/4,
+    the common 'one token ≈ 4 chars' heuristic) per row."""
+    w = words_col(text_col)
+    return (df.withColumn("n_tokens", F.size(w))
+              .withColumn("n_chars_actual", F.length(text_col))
+              .withColumn("n_subword_est",
+                          F.ceil(F.length(text_col) / F.lit(4)).cast("long")))
+
+
+def quality_scores(df: DataFrame, text_col: str = "text",
+                   lang: str = "en") -> DataFrame:
+    """Per-row quality features: word count, mean word length, stopword
+    ratio, punctuation ratio, uppercase ratio."""
+    w = words_col(text_col)
+    stop = [F.lit(s) for s in STOPWORDS[lang]]
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS[lang])))
+    total_word_chars = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_punct = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    n_upper = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Z]", ""))
+    return (df
+            .withColumn("n_words", n_words)
+            .withColumn("mean_word_len",
+                        total_word_chars / F.greatest(n_words, F.lit(1)))
+            .withColumn("stopword_ratio",
+                        n_stop / F.greatest(n_words, F.lit(1)))
+            .withColumn("punct_ratio",
+                        n_punct / F.greatest(F.length(text_col), F.lit(1)))
+            .withColumn("upper_ratio",
+                        n_upper / F.greatest(F.length(text_col), F.lit(1))))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-voting language heuristic: language with the highest
+    stopword hit ratio; 'und' (undetermined) when no list scores > 0."""
+    w = words_col(text_col)
+    scores = [
+        F.struct(
+            (F.size(F.filter(w, lambda x: x.isin(*sw))) /
+             F.greatest(F.size(w), F.lit(1))).alias("score"),
+            F.lit(lang).alias("lang"))
+        for lang, sw in sorted(STOPWORDS.items())
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return (df.withColumn("_best", best)
+            .withColumn("lang_pred",
+                        F.when(F.col("_best.score") > 0, F.col("_best.lang"))
+                        .otherwise(F.lit("und")))
+            .withColumn("lang_score", F.col("_best.score"))
+            .drop("_best"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic 64-bit content fingerprint (xxhash64 of the
+    whitespace-normalized text) — the cheap exact-dup key."""
+    normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.xxhash64(normalized))

@@ -1,0 +1,98 @@
+"""Mimic the grading driver: run every __spark_entry__ query on Spark and
+its oracle on DuckDB at sf0.01; compare row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from duke_spark.config import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return f"{v:.9g}"
+    return str(v)
+
+
+def frame_hash(pdf: pd.DataFrame) -> str:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    rows = sorted(
+        "|".join(norm_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> None:
+    only = sys.argv[1:] or None
+    spark = get_spark("contract_check", master="local[8]",
+                      shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in entry.TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        el = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(got)} rows, "
+                  f"cols={sorted(got.columns)} ({el:.1f}s)")
+            if len(got) == 0:
+                failures.append(name)
+            continue
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error {e}")
+            failures.append(name)
+            continue
+        ok_rows = len(got) == len(exp)
+        ok_cols = sorted(got.columns) == sorted(exp.columns)
+        ok_hash = frame_hash(got) == frame_hash(exp)
+        status = "OK   " if (ok_rows and ok_cols and ok_hash) else "FAIL "
+        print(f"{status} {name}: rows {len(got)}/{len(exp)} "
+              f"cols={'ok' if ok_cols else (sorted(got.columns), sorted(exp.columns))} "
+              f"hash={'ok' if ok_hash else 'MISMATCH'} ({el:.1f}s)")
+        if status.startswith("FAIL"):
+            failures.append(name)
+            if ok_cols and not ok_hash:
+                cols = sorted(got.columns)
+                g = got[cols].sort_values(cols).reset_index(drop=True)
+                e_ = exp[cols].sort_values(cols).reset_index(drop=True)
+                if len(g) == len(e_):
+                    diff = (g.astype(str) != e_.astype(str)).any(axis=1)
+                    print("  first diffs:")
+                    print(pd.concat([g[diff].head(3), e_[diff].head(3)],
+                                    keys=["spark", "duck"]).to_string())
+    print("\nFAILURES:", failures or "none")
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Dedup operator tests: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from duke_spark.operators.dedup import (exact_dedup, hash64,
+                                        lsh_candidate_pairs,
+                                        minhash_signatures,
+                                        ngram_jaccard_pairs, simhash64,
+                                        with_shingles)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),          # exact dup
+    (2, "the quick brown fox jumps over the sleepy dog"),        # near dup
+    (3, "a completely different sentence about spark engines"),
+    (4, "a completely different sentence about spark engines !"),  # near dup
+    (5, "short"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(pd.DataFrame(DOCS,
+                                              columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).toPandas().sort_values("doc_id")
+    # doc 1 collapsed into doc 0
+    assert 1 not in set(out["doc_id"])
+    assert out.set_index("doc_id").loc[0, "n_copies"] == 2
+    assert len(out) == 5
+
+
+def test_shingles(spark, docs):
+    out = (with_shingles(docs, n=3).filter(F.col("doc_id") == 5)
+           .select("shingles").head()[0])
+    assert out == ["short"]  # degenerate doc → whole-text shingle
+    out0 = (with_shingles(docs, n=3).filter(F.col("doc_id") == 0)
+            .select("shingles").head()[0])
+    assert out0[0] == "the quick brown"
+    assert len(out0) == 9 - 2
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=32).toPandas()
+    by_id = {r.doc_id: tuple(r.signature) for r in sigs.itertuples()}
+    assert by_id[0] == by_id[1]                      # exact dups
+    sim_near = sum(a == b for a, b in zip(by_id[0], by_id[2])) / 32
+    sim_far = sum(a == b for a, b in zip(by_id[0], by_id[3])) / 32
+    assert sim_near > sim_far                        # MinHash ≈ Jaccard
+    # true Jaccard(0,2) = 4/10; 32-perm estimate should land nearby
+    assert 0.15 <= sim_near <= 0.75
+
+
+def test_lsh_candidates_include_dups(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=32)
+    pairs = lsh_candidate_pairs(sigs, bands=16).toPandas()
+    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    assert (0, 1) in got                             # exact dup always found
+    # unrelated docs should not dominate: candidates ⊆ plausible pairs
+    assert (0, 3) not in got or len(got) < 10
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    out = ngram_jaccard_pairs(docs, threshold=0.1).toPandas()
+    pairs = {(r.a, r.b): r.jaccard for r in out.itertuples()}
+    assert pairs[(0, 1)] == 1.0
+    # docs 0 vs 2: 7 shingles each, differ in word 8 → shared = 4 of 10
+    assert (0, 2) in pairs and 0.3 < pairs[(0, 2)] < 0.8
+    assert (3, 4) in pairs
+
+
+def test_simhash_near_dup_small_hamming(spark, docs):
+    out = simhash64(docs).toPandas()
+    by_id = dict(zip(out["doc_id"], out["simhash"]))
+    assert by_id[0] == by_id[1]
+    ham_near = bin((by_id[0] ^ by_id[2]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    ham_far = bin((by_id[0] ^ by_id[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham_near < ham_far
+
+
+def test_hash64_stable():
+    assert hash64("spark") == hash64("spark")
+    assert hash64("spark") != hash64("spork")
+    assert 0 <= hash64("x") < 2 ** 64

@@ -1,0 +1,81 @@
+"""Similarity-search tests: brute-force cosine top-k, LSH ANN, near-dups."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from duke_spark.operators.similarity import (ann_cosine_topk, cosine_topk,
+                                             embedding_near_dups,
+                                             lsh_bucket_ids, with_cosine)
+
+DIM = 16
+N = 200
+
+
+@pytest.fixture(scope="module")
+def emb_pdf():
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((N, DIM)).astype(np.float32)
+    # plant a near-duplicate pair: 10 ≈ 11
+    vecs[11] = vecs[10] + rng.standard_normal(DIM).astype(np.float32) * 0.01
+    return pd.DataFrame({"vec_id": np.arange(N, dtype=np.int64),
+                         "embedding": [v.tolist() for v in vecs]})
+
+
+@pytest.fixture(scope="module")
+def emb(spark, emb_pdf):
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    return spark.createDataFrame(emb_pdf, schema=schema)
+
+
+def np_topk(emb_pdf, q, k):
+    mat = np.stack(emb_pdf["embedding"].to_list()).astype(np.float64)
+    qv = np.asarray(q, dtype=np.float64)
+    sims = mat @ qv / (np.linalg.norm(mat, axis=1) * np.linalg.norm(qv))
+    order = np.lexsort((emb_pdf["vec_id"], -sims))
+    return emb_pdf["vec_id"].to_numpy()[order[:k]].tolist()
+
+
+def test_cosine_topk_matches_numpy(spark, emb, emb_pdf):
+    q = emb_pdf["embedding"][10]
+    got = cosine_topk(emb, q, k=5).toPandas()
+    assert got["vec_id"].tolist() == np_topk(emb_pdf, q, 5)
+    assert got["vec_id"].iloc[0] == 10           # self is most similar
+    assert got["vec_id"].iloc[1] == 11           # planted near-dup second
+    assert got["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_with_cosine_range(spark, emb, emb_pdf):
+    q = emb_pdf["embedding"][0]
+    vals = with_cosine(emb, q).select("cosine").toPandas()["cosine"]
+    assert (vals <= 1.0 + 1e-9).all() and (vals >= -1.0 - 1e-9).all()
+
+
+def test_lsh_buckets_deterministic(spark, emb):
+    a = lsh_bucket_ids(emb, DIM, num_planes=6).toPandas()
+    b = lsh_bucket_ids(emb, DIM, num_planes=6).toPandas()
+    pd.testing.assert_frame_equal(a.sort_values("vec_id").reset_index(drop=True),
+                                  b.sort_values("vec_id").reset_index(drop=True))
+    assert a["bucket"].between(0, 63).all()
+
+
+def test_ann_finds_planted_neighbor(spark, emb, emb_pdf):
+    q = emb_pdf["embedding"][10]
+    got = ann_cosine_topk(emb, q, k=5, dim=DIM, num_planes=6).toPandas()
+    # query's own bucket contains itself; near-identical vec 11 almost
+    # surely shares the bucket (sign pattern of a 1% perturbation)
+    assert 10 in got["vec_id"].tolist()
+    assert 11 in got["vec_id"].tolist()
+
+
+def test_embedding_near_dups(spark, emb):
+    out = embedding_near_dups(emb, threshold=0.95, dim=DIM,
+                              num_planes=6).toPandas()
+    got = set(map(tuple, out[["a", "b"]].itertuples(index=False)))
+    assert (10, 11) in got
+    # random 16-dim gaussians essentially never hit cosine ≥ 0.95
+    assert len(got) <= 3
