@@ -40,7 +40,10 @@ class VocabEmbedding:
 
         Groups must already be OOV-filtered. Implemented as one gather +
         reduceat over the flattened index list — no per-word Python loop in
-        the hot path beyond index lookup.
+        the hot path beyond index lookup. All-float32, like the reference
+        (gensim vectors are float32 and ``np.mean`` over them stays float32,
+        ``Duke/utils.py:26-27``); at D=1000 the float32 gather also halves
+        the memory traffic that dominates this kernel.
         """
         if not groups:
             return np.zeros((0, self.dim), dtype=np.float32)
@@ -49,12 +52,12 @@ class VocabEmbedding:
         flat_idx = np.fromiter(
             (self.vocab[w] for g in groups for w in g), dtype=np.int64
         )
-        gathered = self.matrix[flat_idx].astype(np.float64)
+        gathered = self.matrix[flat_idx]
         starts = np.zeros(len(groups), dtype=np.int64)
         np.cumsum(lengths[:-1], out=starts[1:])
         sums = np.add.reduceat(gathered, starts, axis=0)
-        means = sums / lengths[:, None]
-        return unit_norm_rows(means).astype(np.float32)
+        means = sums / lengths[:, None].astype(np.float32)
+        return unit_norm_rows(means)
 
 
 def unit_norm_rows(vectors: np.ndarray) -> np.ndarray:

@@ -120,10 +120,22 @@ def link_batch(pdf: pd.DataFrame, ctx: LinkContext) -> pd.DataFrame:
     rows = grouped.index.get_level_values("row").to_numpy()
     groups = grouped.to_list()
 
-    vecs = ctx.embedding.embed_groups(groups)
+    # Embed + score each DISTINCT mention once, then broadcast back via the
+    # factorize codes. Entities recur heavily in real transcripts, and the
+    # embed gather + (U × D) @ (D × C) matmul is the batch's dominant cost,
+    # so collapsing repeats is a direct FLOP/bandwidth saving with
+    # bit-identical results (same kernel, same inputs).
+    mention_strs = [" ".join(g) for g in groups]
+    codes, _ = pd.factorize(mention_strs)
+    first_pos = np.unique(codes, return_index=True)[1]
+    uniq_groups = [groups[i] for i in first_pos]
+
+    vecs = ctx.embedding.embed_groups(uniq_groups)
     scores = score_against_classes(vecs, ctx.class_matrix)
-    top = np.argmax(scores, axis=1)
-    top_scores = scores[np.arange(len(top)), top].astype(np.float64)
+    top_u = np.argmax(scores, axis=1)
+    top_scores_u = scores[np.arange(len(top_u)), top_u].astype(np.float64)
+    top = top_u[codes]
+    top_scores = top_scores_u[codes]
     classes = np.asarray(ctx.classes, dtype=object)
 
     out = pd.DataFrame({
@@ -131,7 +143,7 @@ def link_batch(pdf: pd.DataFrame, ctx: LinkContext) -> pd.DataFrame:
         "turn_idx": pdf["turn_idx"].to_numpy()[rows],
         "role": pdf["role"].to_numpy()[rows],
         "tool": pdf["tool"].to_numpy()[rows],
-        "mention": [" ".join(g) for g in groups],
+        "mention": mention_strs,
         "entity": classes[top],
         "entity_score": top_scores,
     })

@@ -1,0 +1,276 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media travel as opaque ``binary`` columns with typed metadata — the same
+pattern the transcript engine uses for text: Spark owns partitioning,
+pruning, and shuffle; per-blob compute happens in Arrow-batched pandas
+functions via ``mapInPandas`` (never per-row Python). The reference is
+text-only (``Duke/dataset.py:45`` keeps object-dtype columns and drops the
+rest), so these operators are part of the training-data-pipeline surface
+grafted on top, anchored to the same batch-kernel architecture as
+``duke_spark.operators.linking``.
+
+Decode/resample kernels that need codec libraries (PIL/ffmpeg — not in
+this container) are STUBBED: ``decode_image``/``decode_audio`` raise
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder (header-parse + seeded synthesis from the blob
+hash) stands in. All Spark-side plumbing — schema, batch iteration,
+partition sizing, output shapes — is real and tested either way.
+
+At 100 TB: blobs dominate row size, so ``spark.sql.files.maxPartitionBytes``
+governs batch memory, metadata-only queries must never touch the blob
+column (column pruning — keep metadata in separate parquet columns, never
+inside a struct with the blob), and feature extraction emits fixed-size
+``array<float>`` so downstream joins/aggs stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# deterministic fake media + header codecs (test substrate)
+# ---------------------------------------------------------------------------
+
+_MAGIC_IMG = b"DSIM"  # duke_spark image: magic, w, h, c  (u16/u16/u8)
+_MAGIC_AUD = b"DSAU"  # duke_spark audio: magic, sample_rate u32, n_samples u32
+
+
+def make_fake_image(key: str, width: int, height: int,
+                    channels: int = 3) -> bytes:
+    """Deterministic pseudo-image blob: parseable header + hash-seeded
+    payload. Stands in for JPEG/PNG bytes in fixtures."""
+    header = _MAGIC_IMG + struct.pack("<HHB", width, height, channels)
+    seed = hashlib.blake2b(key.encode(), digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(seed, "big"))
+    payload = rng.integers(0, 256, size=width * height * channels,
+                           dtype=np.uint8).tobytes()
+    return header + payload
+
+
+def make_fake_audio(key: str, sample_rate: int, n_samples: int) -> bytes:
+    header = _MAGIC_AUD + struct.pack("<II", sample_rate, n_samples)
+    seed = hashlib.blake2b(key.encode(), digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(seed, "big"))
+    payload = (rng.standard_normal(n_samples).astype(np.float32)).tobytes()
+    return header + payload
+
+
+def _parse_image(blob: bytes) -> Optional[np.ndarray]:
+    if blob is None or len(blob) < 9 or blob[:4] != _MAGIC_IMG:
+        return None
+    w, h, c = struct.unpack("<HHB", blob[4:9])
+    arr = np.frombuffer(blob, dtype=np.uint8, offset=9)
+    if arr.size != w * h * c:
+        return None
+    return arr.reshape(h, w, c)
+
+
+def _parse_audio(blob: bytes) -> Optional[np.ndarray]:
+    if blob is None or len(blob) < 12 or blob[:4] != _MAGIC_AUD:
+        return None
+    sr, n = struct.unpack("<II", blob[4:12])
+    arr = np.frombuffer(blob, dtype=np.float32, offset=12)
+    return arr if arr.size == n else None
+
+
+def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
+    """Real decoder STUB. With ``fake=True`` parses the deterministic
+    fixture format above; otherwise this is where PIL/turbojpeg would go
+    (library absent in this container)."""
+    if not fake:
+        raise NotImplementedError(
+            "real image codecs (PIL/libjpeg) are not available in this "
+            "container; pass fake=True for the deterministic fixture codec")
+    arr = _parse_image(blob)
+    if arr is None:
+        raise ValueError("not a DSIM fixture blob")
+    return arr
+
+
+def decode_audio(blob: bytes, fake: bool = False) -> np.ndarray:
+    if not fake:
+        raise NotImplementedError(
+            "real audio codecs (ffmpeg/soundfile) are not available in this "
+            "container; pass fake=True for the deterministic fixture codec")
+    arr = _parse_audio(blob)
+    if arr is None:
+        raise ValueError("not a DSAU fixture blob")
+    return arr
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("content_hash", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("valid", T.BooleanType()),
+])
+
+
+def media_metadata(df: DataFrame, id_col: str = "media_id",
+                   blob_col: str = "blob") -> DataFrame:
+    """Header-parse every blob → typed metadata row (no full decode).
+
+    One ``mapInPandas`` pass; reads only (id, blob) thanks to the explicit
+    ``select`` (column pruning reaches the scan). Hash is blake2b-128 of
+    the payload — the exact-dedup key for media."""
+    pruned = df.select(F.col(id_col).alias("media_id"), F.col(blob_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                b = bytes(blob) if blob is not None else b""
+                img, aud = _parse_image(b), _parse_audio(b)
+                kind = ("image" if img is not None
+                        else "audio" if aud is not None else "unknown")
+                rows.append({
+                    "media_id": mid, "kind": kind, "n_bytes": len(b),
+                    "content_hash":
+                        hashlib.blake2b(b, digest_size=16).hexdigest(),
+                    "width": int(img.shape[1]) if img is not None else None,
+                    "height": int(img.shape[0]) if img is not None else None,
+                    "channels": int(img.shape[2]) if img is not None else None,
+                    "sample_rate":
+                        struct.unpack("<I", b[4:8])[0] if aud is not None
+                        else None,
+                    "n_samples": int(aud.size) if aud is not None else None,
+                    "valid": kind != "unknown",
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              MEDIA_META_SCHEMA.fields])
+
+    return pruned.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+])
+
+
+def image_features(df: DataFrame, id_col: str = "media_id",
+                   blob_col: str = "blob", bins: int = 16,
+                   fake: bool = True) -> DataFrame:
+    """Per-image fixed-size feature vector (channel-mean + intensity
+    histogram) via the (stubbed) decoder. Output is ``array<float>`` so it
+    feeds straight into ``duke_spark.operators.similarity``."""
+    pruned = df.select(F.col(id_col).alias("media_id"), F.col(blob_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: List[str] = []
+            feats: List[Optional[List[float]]] = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                ids.append(mid)
+                try:
+                    arr = decode_image(bytes(blob), fake=fake)
+                except (ValueError, TypeError):
+                    feats.append(None)
+                    continue
+                flat = arr.astype(np.float32)
+                hist, _ = np.histogram(flat, bins=bins, range=(0, 256))
+                hist = hist.astype(np.float32) / max(flat.size, 1)
+                chan_mean = flat.reshape(-1, arr.shape[2]).mean(axis=0) / 255.0
+                feats.append(np.concatenate([chan_mean, hist])
+                             .astype(np.float32).tolist())
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return pruned.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("blob", T.BinaryType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+])
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  id_col: str = "media_id", blob_col: str = "blob",
+                  fake: bool = True) -> DataFrame:
+    """Nearest-neighbor resize, re-encoded to the fixture format. The real
+    path would swap the kernel for PIL's — the Spark plumbing (blob in,
+    blob out, batch shapes) is identical."""
+    pruned = df.select(F.col(id_col).alias("media_id"), F.col(blob_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                try:
+                    arr = decode_image(bytes(blob), fake=fake)
+                except (ValueError, TypeError):
+                    continue
+                h, w, c = arr.shape
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                small = arr[yi][:, xi]
+                out_blob = (_MAGIC_IMG + struct.pack("<HHB", out_w, out_h, c)
+                            + small.tobytes())
+                rows.append({"media_id": mid, "blob": out_blob,
+                             "width": out_w, "height": out_h})
+            yield pd.DataFrame(rows, columns=["media_id", "blob",
+                                              "width", "height"])
+
+    return pruned.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("offset_samples", T.IntegerType()),
+    T.StructField("rms", T.FloatType()),
+])
+
+
+def audio_frame_stats(df: DataFrame, frame_len: int = 1024,
+                      max_frames: int = 16, id_col: str = "media_id",
+                      blob_col: str = "blob",
+                      fake: bool = True) -> DataFrame:
+    """Evenly-spaced frame sampling (the audio/video analogue of video
+    frame-sample) + per-frame RMS. One blob row explodes to ≤max_frames
+    small rows — the fan-out happens inside the batch, so no JVM-side
+    explode over binary data."""
+    pruned = df.select(F.col(id_col).alias("media_id"), F.col(blob_col))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
+                try:
+                    samples = decode_audio(bytes(blob), fake=fake)
+                except (ValueError, TypeError):
+                    continue
+                n_frames = min(max_frames,
+                               max(len(samples) // frame_len, 1))
+                for i in range(n_frames):
+                    off = (i * max(len(samples) - frame_len, 0)
+                           // max(n_frames - 1, 1)) if n_frames > 1 else 0
+                    frame = samples[off:off + frame_len]
+                    rms = float(np.sqrt(np.mean(frame ** 2))) if len(frame) \
+                        else 0.0
+                    rows.append({"media_id": mid, "frame_idx": i,
+                                 "offset_samples": off, "rms": rms})
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "offset_samples", "rms"])
+
+    return pruned.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

@@ -35,6 +35,13 @@ def main() -> None:
     ap.add_argument("--num-parts", type=int, default=64)
     ap.add_argument("--graph", action="store_true",
                     help="also materialize vertices/edges parquet")
+    ap.add_argument("--scale", default="mini", choices=["mini", "reference"],
+                    help="embedding/ontology scale: mini (D=32, ~30 classes,"
+                         " test fixture) or reference (D=1000, 788 classes —"
+                         " the reference's wiki2vec/DBpedia dims)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run the extraction once untimed first (steady-state"
+                         " throughput: long-lived executors, as on a cluster)")
     args = ap.parse_args()
 
     from duke_spark.config import get_spark
@@ -65,9 +72,21 @@ def main() -> None:
     transcripts = transcripts.repartition(args.parallelism * 2).persist()
     n_turns = transcripts.count()
 
+    if args.scale == "reference":
+        from duke_spark.fixtures.scale import scale_arrays
+        vocab, matrix, tree = scale_arrays()
+        ctx_bc = make_context(spark, vocab=vocab, matrix=matrix,
+                              raw_tree=tree)
+    else:
+        ctx_bc = make_context(spark)
+
+    if args.warmup:
+        from duke_spark.operators.triples import extract_triples
+        extract_triples(transcripts, ctx_bc).count()
+
     ck = TripleCheckpoint(args.out, num_parts=args.num_parts)
     t0 = time.time()
-    res = ck.run(spark, transcripts, make_context(spark),
+    res = ck.run(spark, transcripts, ctx_bc,
                  input_path=input_desc)
     elapsed = time.time() - t0
     n_triples = res["rows"]
@@ -77,7 +96,6 @@ def main() -> None:
                    skipped_parts=res["skipped"])
 
     if args.graph:
-        ctx_bc = make_context(spark)
         with metrics.time_stage("graph"):
             kg = build_kg(spark, transcripts, ctx_bc)
             kg["vertices"].write.mode("overwrite").parquet(

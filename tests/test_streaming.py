@@ -1,0 +1,84 @@
+"""Structured Streaming: batch/stream parity, incremental resume, windows."""
+
+import os
+
+import pytest
+
+from duke_spark.fixtures.transcripts import generate_transcripts
+from duke_spark.operators.triples import extract_triples
+from duke_spark.streaming import run_stream_to_triples, turn_rate_windows
+
+
+def _write_chunk(pdf, path):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pdf.to_parquet(path, index=False)
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    return {k: str(tmp_path / k) for k in ("in", "out", "ck")}
+
+
+def _triples_set(df):
+    return {tuple(r) for r in
+            df.select("subj", "pred", "obj", "conv_id", "turn_idx")
+            .collect()}
+
+
+def test_stream_equals_batch(spark, ctx_bc, stream_dirs, tiny_transcripts,
+                             tiny_transcripts_pdf):
+    _write_chunk(tiny_transcripts_pdf, stream_dirs["in"] + "/part0.parquet")
+    run_stream_to_triples(spark, stream_dirs["in"], stream_dirs["out"],
+                          stream_dirs["ck"], ctx_bc)
+    got = _triples_set(spark.read.parquet(stream_dirs["out"]))
+    want = _triples_set(extract_triples(tiny_transcripts, ctx_bc))
+    assert got == want
+
+
+def test_incremental_resume_no_duplicates(spark, ctx_bc, stream_dirs):
+    a = generate_transcripts(n_convs=6, max_turns=6, seed=1)
+    b = generate_transcripts(n_convs=6, max_turns=6, seed=2)
+    b["conv_id"] = "late_" + b["conv_id"]
+    _write_chunk(a, stream_dirs["in"] + "/a.parquet")
+    run_stream_to_triples(spark, stream_dirs["in"], stream_dirs["out"],
+                          stream_dirs["ck"], ctx_bc)
+    n_first = spark.read.parquet(stream_dirs["out"]).count()
+
+    # second cycle with one new file: only the new file is processed
+    _write_chunk(b, stream_dirs["in"] + "/b.parquet")
+    run_stream_to_triples(spark, stream_dirs["in"], stream_dirs["out"],
+                          stream_dirs["ck"], ctx_bc)
+    out = spark.read.parquet(stream_dirs["out"])
+    n_total = out.count()
+    assert n_total > n_first
+    # no duplicates: conv_ids from file A appear exactly as often as in
+    # a fresh batch run over A alone
+    from duke_spark.fixtures.transcripts import spark_transcripts
+    batch_a = extract_triples(spark_transcripts(spark, a), ctx_bc).count()
+    assert out.filter(~out.conv_id.contains("late_")).count() == batch_a
+
+
+def test_turn_rate_windows_batch_parity(spark, tiny_transcripts):
+    # batch evaluation of the same windowed plan defines expected values
+    res = {(r["win_start"], r["role"]): r["n_turns"]
+           for r in turn_rate_windows(tiny_transcripts).collect()}
+    assert res
+    # generator emits one turn per (conv, minute) starting 2026-01-01;
+    # total across windows == total turns
+    assert sum(res.values()) == tiny_transcripts.count()
+
+
+def test_turn_rate_windows_streaming(spark, stream_dirs, tiny_transcripts_pdf,
+                                     tmp_path):
+    _write_chunk(tiny_transcripts_pdf, stream_dirs["in"] + "/w.parquet")
+    from duke_spark.streaming import stream_transcripts
+    agg = turn_rate_windows(stream_transcripts(spark, stream_dirs["in"]))
+    q = (agg.writeStream.format("memory").queryName("turn_windows")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["win_start"], r["role"]): r["n_turns"]
+           for r in spark.sql("select * from turn_windows").collect()}
+    want = {(r["win_start"], r["role"]): r["n_turns"]
+            for r in turn_rate_windows(
+                spark.createDataFrame(tiny_transcripts_pdf)).collect()}
+    assert got == want
