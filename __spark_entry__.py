@@ -265,6 +265,93 @@ def ann_cosine_topk_docs(spark, sf_dir):
     return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def lang_counts_docs(spark, sf_dir):
+    """Stopword-voting language ID (JVM-side greatest-of-structs), rolled
+    up per source. Tie semantics (equal score → lexicographically larger
+    lang) match DuckDB struct max exactly."""
+    from duke_spark.operators.text_analysis import language_id
+    d = language_id(_t(spark, sf_dir, "documents"))
+    return (d.groupBy("source", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def simhash_docs(spark, sf_dir):
+    """64-bit SimHash per doc (FNV-1a word hashes, per-bit majority) —
+    non-SQL (bit-matrix kernel); rows-only check, pytest-verified."""
+    from duke_spark.operators.dedup import simhash64
+    return simhash64(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def minhash_lsh_pairs_docs(spark, sf_dir):
+    """MinHash(64) + 16-band LSH candidate pairs — the 100 TB near-dup
+    path. Non-SQL (hash-perm kernel); rows-only; recall vs exact Jaccard
+    is pytest-verified."""
+    from duke_spark.operators.dedup import (lsh_candidate_pairs,
+                                            minhash_signatures)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+def embedding_near_dups_docs(spark, sf_dir):
+    """Embedding-cosine near-dups within LSH buckets (seeded planes) —
+    rows-only; bucket-recall tradeoff pytest-verified."""
+    from duke_spark.operators.similarity import embedding_near_dups
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    # 4 planes → 16 buckets (~n/16 per bucket): sized so random fixture
+    # vectors yield candidates; at 100 TB num_planes rises with corpus size
+    return embedding_near_dups(emb, threshold=0.3, dim=dim, num_planes=4)
+
+
+def _docs_as_media(spark, sf_dir):
+    """Deterministic binary media column derived from doc_id (images for
+    doc_id%3!=0, audio otherwise) — the multimodal test substrate."""
+    from duke_spark.operators.multimodal import (make_fake_audio,
+                                                 make_fake_image)
+    docs = (_t(spark, sf_dir, "documents").select("doc_id")
+            .filter(F.col("doc_id") < 300))
+
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            blobs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 != 0:
+                    blobs.append(make_fake_image(
+                        f"doc_{did}", 16 + did % 16, 12 + did % 8))
+                else:
+                    blobs.append(make_fake_audio(
+                        f"doc_{did}", 8000, 1024 + (did % 7) * 256))
+            yield pd.DataFrame({"media_id": [f"m{int(d)}" for d in
+                                             pdf["doc_id"]],
+                                "doc_id": pdf["doc_id"], "blob": blobs})
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("media_id", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType())])
+    return docs.mapInPandas(gen, schema=schema)
+
+
+def media_meta_docs(spark, sf_dir):
+    """Multimodal metadata extraction (header parse, no full decode) over
+    a deterministic media table derived from doc_id; aggregated per kind.
+    The oracle re-derives the same dims/sizes from doc_id arithmetic, so
+    a parse bug (wrong width/byte count) breaks the hash match."""
+    from duke_spark.operators.multimodal import media_metadata
+    media = _docs_as_media(spark, sf_dir)
+    meta = media_metadata(media)
+    return (meta.groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.min("width").cast("long").alias("min_w"),
+                 F.max("width").cast("long").alias("max_w"),
+                 F.sum("n_samples").alias("total_samples")))
+
+
 def kg_triples_docs(spark, sf_dir):
     """KG triple extraction (B3-B5) over documents-as-transcripts —
     non-SQL-expressible (pandas-UDF kernels); rows-only driver check,
@@ -272,6 +359,19 @@ def kg_triples_docs(spark, sf_dir):
     from duke_spark.operators.triples import extract_triples
     transcripts = _docs_as_transcripts(spark, sf_dir)
     return extract_triples(transcripts, _corpus_context(spark, sf_dir))
+
+
+def kg_vertices(spark, sf_dir):
+    """Graph materialize (B7): entity vertices with canonical types —
+    rows-only check (pandas-UDF + driver tree fold); parity in pytest."""
+    from duke_spark.operators.canonical import canonical_types_df
+    from duke_spark.operators.graph import build_vertices
+    from duke_spark.operators.mentions import linked_mentions
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    ctx_bc = _corpus_context(spark, sf_dir)
+    mentions = linked_mentions(transcripts, ctx_bc).persist()
+    canonical = canonical_types_df(spark, mentions, ctx_bc)
+    return build_vertices(mentions, canonical)
 
 
 def kg_conv_topics(spark, sf_dir):
@@ -303,7 +403,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio_docs": stopword_ratio_docs,
         "fingerprint_docs": fingerprint_docs,
         "ann_cosine_topk_docs": ann_cosine_topk_docs,
+        "lang_counts_docs": lang_counts_docs,
+        "simhash_docs": simhash_docs,
+        "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+        "embedding_near_dups_docs": embedding_near_dups_docs,
+        "media_meta_docs": media_meta_docs,
         "kg_triples_docs": kg_triples_docs,
+        "kg_vertices": kg_vertices,
         "kg_conv_topics": kg_conv_topics,
     }
 
@@ -450,7 +556,55 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q WHERE e.vec_id <> 0
             ORDER BY cosine DESC, vec_id ASC LIMIT 10
         """,
-        # kg_triples_docs / kg_conv_topics: non-SQL-expressible pandas-UDF
-        # kernels (B3-B6) — rows-only driver check; parity vs the NumPy
-        # oracle is enforced in tests/test_pipeline_parity.py.
+        "lang_counts_docs": """
+            WITH langs(lg, sw) AS (VALUES
+              ('de', ['der','die','das','und','ist','ein','eine','zu','mit']),
+              ('en', ['the','a','of','and','in','to','is','was','on','for']),
+              ('es', ['el','la','los','y','es','un','una','de','para']),
+              ('fr', ['le','la','les','et','est','un','une','de','pour'])),
+            scored AS (
+              SELECT d.doc_id, d.source,
+                     max(struct_pack(
+                         score := len(list_filter(string_split(d.text, ' '),
+                                                  x -> list_contains(l.sw, x)))
+                                  * 1.0 /
+                                  greatest(len(string_split(d.text, ' ')), 1),
+                         lang := l.lg)) AS best
+              FROM documents d CROSS JOIN langs l
+              GROUP BY d.doc_id, d.source)
+            SELECT source,
+                   CASE WHEN best.score > 0 THEN best.lang
+                        ELSE 'und' END AS lang_pred,
+                   COUNT(*) AS n_docs
+            FROM scored GROUP BY source, lang_pred
+        """,
+        # media_meta_docs: the oracle re-derives sizes/dims from the same
+        # doc_id arithmetic the media generator uses; the Spark side must
+        # round-trip them through real blob encode → header parse.
+        "media_meta_docs": """
+            WITH m AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 <> 0 THEN 'image'
+                          ELSE 'audio' END AS kind,
+                     CASE WHEN doc_id % 3 <> 0
+                          THEN 16 + doc_id % 16 END AS width,
+                     CASE WHEN doc_id % 3 <> 0
+                          THEN 9 + (16 + doc_id % 16) * (12 + doc_id % 8) * 3
+                          ELSE 12 + (1024 + (doc_id % 7) * 256) * 4
+                          END AS n_bytes,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 1024 + (doc_id % 7) * 256 END AS n_samples
+              FROM documents WHERE doc_id < 300)
+            SELECT kind, COUNT(*) AS n,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                   CAST(MIN(width) AS BIGINT) AS min_w,
+                   CAST(MAX(width) AS BIGINT) AS max_w,
+                   CAST(SUM(n_samples) AS BIGINT) AS total_samples
+            FROM m GROUP BY kind
+        """,
+        # kg_triples_docs / kg_conv_topics / simhash_docs /
+        # minhash_lsh_pairs_docs / embedding_near_dups_docs:
+        # non-SQL-expressible (pandas-UDF hash/matmul kernels) — rows-only
+        # driver check; parity/recall is enforced in pytest
+        # (test_pipeline_parity.py, test_dedup.py, test_similarity.py).
     }

@@ -33,6 +33,11 @@ HEADLINE = [
     "token_stats_docs",
     "stopword_ratio_docs",
     "ann_cosine_topk_docs",
+    "lang_counts_docs",
+    "simhash_docs",
+    "minhash_lsh_pairs_docs",
+    "embedding_near_dups_docs",
+    "media_meta_docs",
     "kg_triples_docs",
     "kg_conv_topics",
 ]

@@ -16,9 +16,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _set_worker_env() -> None:
+    """Worker-process environment (inherited by Python workers in local
+    mode; a real cluster sets the same via ``spark.executorEnv.*``):
+
+    * one BLAS thread per task — tasks are the parallelism unit; letting
+      OpenBLAS spawn nproc threads per worker oversubscribes the box;
+    * glibc malloc mmap/trim thresholds raised to 1 GiB — the linking
+      kernel allocates/frees 100s-of-MB NumPy buffers per Arrow batch,
+      and default glibc serves those via mmap/munmap, whose TLB-shootdown
+      IPIs serialize across many cores (measured 5× throughput loss at
+      local[32]); keeping them on the heap lets workers reuse pages.
+    """
+    for k, v in (("OPENBLAS_NUM_THREADS", "1"), ("OMP_NUM_THREADS", "1"),
+                 ("MKL_NUM_THREADS", "1"),
+                 ("MALLOC_MMAP_THRESHOLD_", "1073741824"),
+                 ("MALLOC_TRIM_THRESHOLD_", "1073741824")):
+        os.environ.setdefault(k, v)
+
+
 def get_spark(app_name: str = "duke_spark",
               master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    _set_worker_env()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("DUKE_SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
@@ -33,6 +53,10 @@ def get_spark(app_name: str = "duke_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # partitioned writes: rows arrive clustered by the partition column
+        # (plans/checkpoint.py), so concurrent writers skip the per-task
+        # sort-by-partition pass (measured 3-20× on the triple write)
+        .config("spark.sql.maxConcurrentOutputFileWriters", "128")
         .config("spark.driver.memory",
                 os.environ.get("DUKE_SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -112,25 +112,37 @@ def conversation_class_scores(mentions: DataFrame, ctx_bc) -> DataFrame:
 def describe_conversations(spark, mentions: DataFrame, ctx_bc,
                            tree_agg=PRODUCTION_TREE_AGG) -> DataFrame:
     """Per-conversation canonical topic — Duke's summary sentence
-    (``Duke/dataset_descriptor.py:82-88``) over the mention path."""
+    (``Duke/dataset_descriptor.py:82-88``) over the mention path.
+
+    Unlike entity canonicalization (≤ C entities → driver fold is fine),
+    conversations are unbounded, so the tree fold runs INSIDE the
+    ``applyInPandas`` group worker (it is a pure function of the broadcast
+    context) and only (conv_id, topic) rows ever leave the workers — no
+    per-conversation score vectors on the driver at any scale."""
     from duke_spark.kernel.text import pluralize
 
-    ctx: LinkContext = ctx_bc.value
-    rows = conversation_class_scores(mentions, ctx_bc).collect()
-    out = []
-    for r in rows:
-        vec = np.asarray(r["mean_scores"], dtype=np.float64)
-        agg = aggregate_tree_scores(ctx.classes, vec, ctx.tree, tree_agg)
-        top = ctx.classes[int(np.argmax(agg))]
-        out.append((r["conv_id"], top,
-                    f"This conversation is about {pluralize(top)}.",
-                    r["n_mentions"]))
+    counts = (mentions
+              .groupBy("conv_id", "mention")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
     schema = T.StructType([
         T.StructField("conv_id", T.StringType()),
         T.StructField("topic", T.StringType()),
         T.StructField("description", T.StringType()),
         T.StructField("n_mentions", T.LongType()),
     ])
-    if not out:
-        return spark.createDataFrame([], schema)
-    return spark.createDataFrame(sorted(out), schema)
+
+    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        ctx: LinkContext = ctx_bc.value
+        mean_vec = score_mentions_batch(pdf["mention"], pdf["cnt"], ctx)
+        agg = aggregate_tree_scores(ctx.classes, mean_vec, ctx.tree,
+                                    tree_agg)
+        top = ctx.classes[int(np.argmax(agg))]
+        return pd.DataFrame({
+            "conv_id": [pdf["conv_id"].iloc[0]],
+            "topic": [top],
+            "description": [f"This conversation is about {pluralize(top)}."],
+            "n_mentions": [int(pdf["cnt"].sum())],
+        })
+
+    return counts.groupBy("conv_id").applyInPandas(agg_group, schema=schema)

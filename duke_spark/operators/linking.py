@@ -125,7 +125,7 @@ def link_batch(pdf: pd.DataFrame, ctx: LinkContext) -> pd.DataFrame:
     # embed gather + (U × D) @ (D × C) matmul is the batch's dominant cost,
     # so collapsing repeats is a direct FLOP/bandwidth saving with
     # bit-identical results (same kernel, same inputs).
-    mention_strs = [" ".join(g) for g in groups]
+    mention_strs = np.asarray([" ".join(g) for g in groups], dtype=object)
     codes, _ = pd.factorize(mention_strs)
     first_pos = np.unique(codes, return_index=True)[1]
     uniq_groups = [groups[i] for i in first_pos]

@@ -92,9 +92,10 @@ def test_checkpoint_resume_idempotent(spark, tiny_transcripts, ctx_bc,
 
 def test_checkpoint_partition_ids_deterministic(spark, tiny_transcripts):
     from duke_spark.plans.checkpoint import with_part_id
-    a = (with_part_id(tiny_transcripts, 8).select("conv_id", "part_id")
-         .distinct().toPandas().sort_values("conv_id").reset_index(drop=True))
+    key = ["conv_id", "turn_idx"]
+    a = (with_part_id(tiny_transcripts, 8).select(*key, "part_id")
+         .toPandas().sort_values(key).reset_index(drop=True))
     b = (with_part_id(tiny_transcripts.repartition(5), 8)
-         .select("conv_id", "part_id").distinct().toPandas()
-         .sort_values("conv_id").reset_index(drop=True))
+         .select(*key, "part_id").toPandas()
+         .sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)

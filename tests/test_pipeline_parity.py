@@ -91,3 +91,31 @@ def test_partition_count_invariance(spark, tiny_transcripts, ctx_bc):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[key], b[key])
+
+
+def test_describe_conversations_matches_oracle(spark, tiny_transcripts,
+                                               ctx_bc, expected_mentions):
+    """Worker-side tree fold (describe_conversations) == driver-side oracle
+    fold over per-conversation mean score vectors."""
+    from duke_spark.kernel.tree import (PRODUCTION_TREE_AGG,
+                                        aggregate_tree_scores)
+    from duke_spark.operators.canonical import describe_conversations
+
+    mentions = linked_mentions(tiny_transcripts, ctx_bc)
+    got = (describe_conversations(spark, mentions, ctx_bc)
+           .toPandas().set_index("conv_id").sort_index())
+
+    ctx = ctx_bc.value
+    exp = {}
+    for conv_id, grp in expected_mentions.groupby("conv_id"):
+        mean_vec = np.mean(np.stack(grp["class_scores"].to_list()), axis=0)
+        agg = aggregate_tree_scores(ctx.classes, mean_vec, ctx.tree,
+                                    PRODUCTION_TREE_AGG)
+        exp[conv_id] = (ctx.classes[int(np.argmax(agg))], len(grp))
+
+    assert set(got.index) == set(exp)
+    for conv_id, (topic, n) in exp.items():
+        assert got.loc[conv_id, "topic"] == topic, conv_id
+        assert got.loc[conv_id, "n_mentions"] == n
+        from duke_spark.kernel.text import pluralize
+        assert pluralize(topic) in got.loc[conv_id, "description"]
