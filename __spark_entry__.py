@@ -33,6 +33,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _t_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table scan + spread: the testdata tables are single parquet files
+    (often one row-group), so a bare scan is one task; narrow-heavy
+    consumers (hash kernels) repartition to the session's parallelism
+    first. At 100 TB inputs arrive multi-file and this is a no-op choice."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 def _dec(col: str):
     return F.col(col).cast("decimal(18,2)")
 
@@ -217,7 +226,7 @@ def minhash_sig_docs(spark, sf_dir):
     """k=1 MinHash (min-md5 over 3-gram shingles) — the SQL-checkable
     variant; the full 64-perm MinHash+LSH path is pytest-verified."""
     from duke_spark.operators.dedup import with_shingles
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     sh = with_shingles(docs).select(
         "doc_id", F.explode("shingles").alias("s"))
     return (sh.groupBy("doc_id")
@@ -226,7 +235,7 @@ def minhash_sig_docs(spark, sf_dir):
 
 def jaccard_pairs_docs(spark, sf_dir):
     from duke_spark.operators.dedup import ngram_jaccard_pairs
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+    return ngram_jaccard_pairs(_t_par(spark, sf_dir, "documents"),
                                threshold=0.2)
 
 
@@ -279,7 +288,8 @@ def simhash_docs(spark, sf_dir):
     """64-bit SimHash per doc (FNV-1a word hashes, per-bit majority) —
     non-SQL (bit-matrix kernel); rows-only check, pytest-verified."""
     from duke_spark.operators.dedup import simhash64
-    return simhash64(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return simhash64(_t_par(spark, sf_dir, "documents")
+                     .select("doc_id", "text"))
 
 
 def minhash_lsh_pairs_docs(spark, sf_dir):
@@ -288,7 +298,7 @@ def minhash_lsh_pairs_docs(spark, sf_dir):
     is pytest-verified."""
     from duke_spark.operators.dedup import (lsh_candidate_pairs,
                                             minhash_signatures)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
     return lsh_candidate_pairs(minhash_signatures(docs))
 
 

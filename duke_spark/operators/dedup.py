@@ -56,11 +56,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 64,
                        shingle_len: int = 3) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(i-th seed ⊕ shingle). Computed as one NumPy min-reduction per
-    Arrow batch (num_hashes × shingles matrix) — narrow stage, no shuffle.
-    """
-    base = with_shingles(df.select(id_col, text_col), text_col,
-                         n=shingle_len).select(id_col, "shingles")
+    mix(seed_i, h(shingle)).
+
+    Split of labor: shingle string hashing runs JVM-side (``xxhash64``
+    inside whole-stage codegen — Python never touches the strings); the
+    k-seed multiply-xor mixing + min-reduction is one flattened NumPy pass
+    per Arrow batch (``minimum.reduceat`` over doc offsets — no per-doc
+    Python loop). Narrow stage, no shuffle."""
+    base = (with_shingles(df.select(id_col, text_col), text_col,
+                          n=shingle_len)
+            .select(id_col,
+                    F.transform("shingles",
+                                lambda s: F.xxhash64(s)).alias("hashes")))
     seeds = np.arange(1, num_hashes + 1, dtype=np.uint64) * \
         np.uint64(0x9E3779B97F4A7C15)
 
@@ -71,20 +78,23 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_ids, out_sigs = [], []
-            for doc_id, shingles in zip(pdf[id_col], pdf["shingles"]):
-                if len(shingles) == 0:
-                    continue
-                # vectorized: hash each shingle once, then mix with each
-                # seed via multiply-xor (splitmix-style), min per seed
-                h = np.fromiter(
-                    (np.uint64(hash64(s)) for s in shingles),
-                    dtype=np.uint64, count=len(shingles))
-                mixed = h[None, :] * seeds[:, None]
+            lens = pdf["hashes"].map(len).to_numpy(dtype=np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            pdf, lens = pdf[keep], lens[keep]
+            flat = np.concatenate(pdf["hashes"].to_list()).astype(np.uint64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sigs = np.empty((len(seeds), len(lens)), dtype=np.uint64)
+            for i, seed in enumerate(seeds):
+                mixed = flat * seed
                 mixed ^= mixed >> np.uint64(33)
-                out_ids.append(doc_id)
-                out_sigs.append(mixed.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: out_ids, "signature": out_sigs})
+                sigs[i] = np.minimum.reduceat(mixed, starts)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "signature": list(sigs.T.view(np.int64)),
+            })
 
     return base.mapInPandas(run, schema=schema)
 
@@ -154,9 +164,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word md5 bits — per-bit majority vote of word
-    hashes. Vectorized NumPy per batch (words × 64 bit matrix)."""
-    words_df = df.select(id_col, F.split(F.col(text_col), " ").alias("w"))
+    """64-bit SimHash — per-bit majority vote over word hashes.
+
+    Word hashing is JVM-side ``xxhash64`` (codegen); the bit unpack +
+    majority vote is one flattened NumPy pass per Arrow batch
+    (``add.reduceat`` over doc offsets) — no per-doc Python loop."""
+    words_df = df.select(
+        id_col,
+        F.transform(F.split(F.col(text_col), " "),
+                    lambda w: F.xxhash64(w)).alias("hashes"))
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
         T.StructField("simhash", T.LongType()),
@@ -164,20 +180,21 @@ def simhash64(df: DataFrame, text_col: str = "text",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << bit_idx
         for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, words in zip(pdf[id_col], pdf["w"]):
-                if len(words) == 0:
-                    continue
-                h = np.fromiter((hash64(w) for w in words),
-                                dtype=np.uint64, count=len(words))
-                bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 >= len(words)
-                sig = np.uint64(0)
-                for i in np.flatnonzero(votes):
-                    sig |= np.uint64(1) << np.uint64(i)
-                ids.append(doc_id)
-                sigs.append(np.int64(sig))
-            yield pd.DataFrame({id_col: ids, "simhash": sigs})
+            lens = pdf["hashes"].map(len).to_numpy(dtype=np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            pdf, lens = pdf[keep], lens[keep]
+            flat = np.concatenate(pdf["hashes"].to_list()).astype(np.uint64)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            bits = (flat[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            counts = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            votes = counts * 2 >= lens[:, None]
+            sigs = (votes.astype(np.uint64) * weights).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "simhash": sigs.view(np.int64)})
 
     return words_df.mapInPandas(run, schema=schema)
