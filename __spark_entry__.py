@@ -384,6 +384,16 @@ def kg_vertices(spark, sf_dir):
     return build_vertices(mentions, canonical)
 
 
+def kg_duke_describe(spark, sf_dir):
+    """Full Duke EP1 semantics per conversation (role-as-source, headers
+    source, whole-turn OOV rule, per-source tree fold, source mean) —
+    rows-only check; exact parity vs the oracle in pytest."""
+    from duke_spark.operators.describe import describe_conversations_duke
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    return describe_conversations_duke(transcripts,
+                                       _corpus_context(spark, sf_dir))
+
+
 def kg_conv_topics(spark, sf_dir):
     """Per-conversation canonical topic (B6) — rows-only check."""
     from duke_spark.operators.canonical import describe_conversations
@@ -420,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta_docs": media_meta_docs,
         "kg_triples_docs": kg_triples_docs,
         "kg_vertices": kg_vertices,
+        "kg_duke_describe": kg_duke_describe,
         "kg_conv_topics": kg_conv_topics,
     }
 

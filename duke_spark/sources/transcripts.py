@@ -23,9 +23,17 @@ TRANSCRIPT_SCHEMA = T.StructType([
 def read_transcripts(spark: SparkSession, path: str,
                      fmt: str = "parquet") -> DataFrame:
     """Read the transcript table. ``fmt='iceberg'`` is the production path
-    (catalog table name in ``path``); parquet is the test/bench path."""
+    (catalog table name in ``path``); parquet is the test/bench path;
+    ``csv`` is the reference-parity path (header row required, like
+    ``Duke/dataset.py:37`` — but with the schema explicit, never
+    inferred, so types and pushdown are stable)."""
     if fmt == "iceberg":
         df = spark.read.format("iceberg").load(path)
+    elif fmt == "csv":
+        df = (spark.read.schema(TRANSCRIPT_SCHEMA)
+              .option("header", True)
+              .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+              .csv(path))
     else:
         df = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
     return df

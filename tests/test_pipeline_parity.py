@@ -119,3 +119,30 @@ def test_describe_conversations_matches_oracle(spark, tiny_transcripts,
         assert got.loc[conv_id, "n_mentions"] == n
         from duke_spark.kernel.text import pluralize
         assert pluralize(topic) in got.loc[conv_id, "description"]
+
+
+def test_duke_describe_matches_oracle(spark, tiny_transcripts, ctx_bc,
+                                      oracle_ctx, tiny_transcripts_pdf):
+    """Full Duke EP1 semantics (role-as-source, headers source, whole-turn
+    OOV rule, per-source tree fold, source mean) — Spark vs oracle."""
+    from duke_spark.kernel.oracle import describe_conversation
+    from duke_spark.operators.describe import describe_conversations_duke
+
+    got = (describe_conversations_duke(tiny_transcripts, ctx_bc)
+           .toPandas().set_index("conv_id").sort_index())
+
+    convs = sorted(tiny_transcripts_pdf["conv_id"].unique())
+    n_checked = 0
+    for conv_id in convs:
+        conv = tiny_transcripts_pdf[tiny_transcripts_pdf["conv_id"]
+                                    == conv_id]
+        exp = describe_conversation(oracle_ctx, conv)
+        if exp is None:
+            assert conv_id not in got.index
+            continue
+        n_checked += 1
+        top_exp = exp["top"][0][0]
+        assert got.loc[conv_id, "top_class"] == top_exp, conv_id
+        assert got.loc[conv_id, "description"] == exp["description"].replace(
+            "This dataset is about", "This dataset is about")
+    assert n_checked >= 15  # most conversations must be describable
