@@ -1,0 +1,58 @@
+"""Evaluation harness: labels, config grid, score-gap ranking (EP3)."""
+
+import numpy as np
+import pytest
+
+from duke_spark.eval import (config_grid, label_vector,
+                             rank_configs, read_positive_examples,
+                             run_config_grid, write_positive_examples)
+
+
+def test_label_roundtrip(tmp_path):
+    p = str(tmp_path / "labels.json")
+    labels = {"conv_000000": ["artist", "musician"], "conv_000001": ["team"]}
+    write_positive_examples(p, labels)
+    assert read_positive_examples(p) == labels
+
+
+def test_label_vector():
+    lv = label_vector(["b"], ["a", "b", "c"])
+    assert lv.tolist() == [-1.0, 1.0, -1.0]
+
+
+def test_config_grid_is_cartesian():
+    g = config_grid()
+    assert len(g) == 4
+    assert "parent=mean,children=max" in g  # the production config
+
+
+@pytest.fixture(scope="module")
+def golden_labels(oracle_ctx, tiny_transcripts_pdf):
+    """Golden labels from the oracle itself: each conversation's true
+    top-2 classes under the production config."""
+    from duke_spark.kernel.oracle import describe_conversation
+    labels = {}
+    for conv_id, grp in tiny_transcripts_pdf.groupby("conv_id"):
+        res = describe_conversation(oracle_ctx, grp, top_n=2)
+        if res is not None:
+            labels[conv_id] = [c for c, _ in res["top"]]
+    return labels
+
+
+def test_grid_eval_and_ranking(spark, tiny_transcripts, ctx_bc,
+                               golden_labels):
+    results = run_config_grid(spark, tiny_transcripts, ctx_bc,
+                              golden_labels).toPandas()
+    assert set(results["config"]) == set(config_grid())
+    # labels are the oracle's own top classes → the gap must be positive
+    # for the production config on almost every conversation
+    prod = results[results["config"] == "parent=mean,children=max"]
+    assert len(prod) == len(golden_labels)
+    assert (prod["score_gap"] > 0).mean() > 0.8
+    assert np.allclose(prod["score_gap"],
+                       prod["avg_pos"] - prod["avg_neg"])
+
+    ranked = rank_configs(
+        spark.createDataFrame(results), top_n=4).toPandas()
+    assert len(ranked) == 4
+    assert ranked["mean_gap"].is_monotonic_decreasing
