@@ -99,3 +99,21 @@ def test_checkpoint_partition_ids_deterministic(spark, tiny_transcripts):
          .select(*key, "part_id").toPandas()
          .sort_values(key).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_salted_parts_spread_hot_conversation(spark):
+    """SURVEY B8: with 30% of all turns in one conversation, the salted
+    part_id must keep every partition's share near uniform (an unsalted
+    hash(conv_id) would put ~30% in ONE part and straggle every stage)."""
+    from duke_spark.fixtures.transcripts import (generate_transcripts,
+                                                 spark_transcripts)
+    from duke_spark.plans.checkpoint import with_part_id
+
+    pdf = generate_transcripts(n_convs=200, max_turns=24, seed=3,
+                               hot_frac=0.3)
+    df = spark_transcripts(spark, pdf)
+    counts = (with_part_id(df, 16).groupBy("part_id").count()
+              .toPandas()["count"])
+    share = counts.max() / counts.sum()
+    # hot conv spans ~turns/64 salt buckets → no part holds its 30% share
+    assert share < 0.2, f"hot partition holds {share:.0%} of rows"
