@@ -68,9 +68,17 @@ def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
 
 
+_CTX_CACHE: dict = {}
+
+
 def _corpus_context(spark: SparkSession, sf_dir: str):
     """LinkContext with vocab drawn from the corpus itself (top words by
-    (count desc, word) — deterministic) + fixture class names."""
+    (count desc, word) — deterministic) + fixture class names. Cached per
+    sf_dir: the context is immutable derived state (the reference's
+    load-model-once pattern, ``Duke/evaluate.py:78-86``)."""
+    cached = _CTX_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     from duke_spark.fixtures.class_tree import mini_tree
     from duke_spark.fixtures.embedding import _word_vector
     from duke_spark.operators.linking import LinkContext
@@ -91,7 +99,9 @@ def _corpus_context(spark: SparkSession, sf_dir: str):
     import numpy as np
     matrix = np.stack([_word_vector(w, 32) for w in vocab])
     ctx = LinkContext(vocab, matrix, tree)
-    return spark.sparkContext.broadcast(ctx)
+    bc = spark.sparkContext.broadcast(ctx)
+    _CTX_CACHE[sf_dir] = bc
+    return bc
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -162,6 +162,49 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def near_dup_filter(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", num_hashes: int = 64,
+                    bands: int = 16, shingle_len: int = 3,
+                    jaccard_threshold: float = 0.8) -> DataFrame:
+    """Drop near-duplicates: MinHash+LSH candidates, exact-Jaccard
+    verified, then greedy keep-lowest-id (for every verified pair a<b,
+    drop b). Greedy-by-id is the standard corpus-dedup policy — it is
+    deterministic and transitive-safe for true duplicate *clusters*
+    (every member pairs with the cluster's min id at high τ); chains of
+    borderline pairs may keep middle elements, which is accepted practice
+    (full connected components would need an iterative join).
+
+    Shuffle shape: signatures are narrow; the LSH band join keys are
+    uniform; the final anti-join is a broadcast when the drop set is small
+    (AQE decides). Returns the surviving rows of ``df`` unchanged."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_len)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    docs = df.select(F.col(id_col), F.col(text_col))
+    verified = (cands
+                .join(docs.select(F.col(id_col).alias("a"),
+                                  F.col(text_col).alias("text_a")), "a")
+                .join(docs.select(F.col(id_col).alias("b"),
+                                  F.col(text_col).alias("text_b")), "b"))
+    # exact Jaccard on both texts inline (array fns, no extra joins)
+    words_a = F.split(F.col("text_a"), " ")
+    words_b = F.split(F.col("text_b"), " ")
+
+    def _sh(words):
+        n_sh = F.greatest(F.size(words) - (shingle_len - 1), F.lit(1))
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(words, i, shingle_len))))
+
+    a_sh, b_sh = _sh(words_a), _sh(words_b)
+    inter = F.size(F.array_intersect(a_sh, b_sh))
+    union = F.size(a_sh) + F.size(b_sh) - inter
+    drops = (verified
+             .withColumn("jaccard", inter / union)
+             .filter(F.col("jaccard") >= jaccard_threshold)
+             .select(F.col("b").alias(id_col)).distinct())
+    return df.join(drops, id_col, "left_anti")
+
+
 def simhash64(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash — per-bit majority vote over word hashes.

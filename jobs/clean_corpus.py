@@ -1,0 +1,96 @@
+"""Training-data corpus cleaning job: the composed pipeline a 100 TB
+pretraining corpus runs before tokenization.
+
+    documents → exact dedup → MinHash-LSH near-dup removal →
+    quality filter → language filter → clean parquet + stats JSON
+
+Every stage is one of the first-class operators (SURVEY §2 Table C);
+this job is the composition proof + the spark-submit entry for it.
+
+Usage:
+    python jobs/clean_corpus.py --input /root/testdata/sf0.01 \
+        --out /tmp/clean --min-words 5 --max-stop 0.6 --langs en,de,fr,es
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="sf dir containing documents.parquet")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--parallelism", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--min-words", type=int, default=5)
+    ap.add_argument("--max-stop", type=float, default=0.7)
+    ap.add_argument("--langs", default="en,de,fr,es")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from duke_spark.config import get_spark
+    from duke_spark.operators.dedup import exact_dedup, near_dup_filter
+    from duke_spark.operators.text_analysis import language_id, quality_scores
+
+    spark = get_spark("clean_corpus", master=f"local[{args.parallelism}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+
+    docs = spark.read.parquet(
+        os.path.join(args.input, "documents.parquet")).repartition(
+        args.parallelism)
+    n0 = docs.count()
+
+    # 1. exact dedup (keep min doc_id per distinct text)
+    survivors = exact_dedup(docs).select("doc_id")
+    docs = docs.join(survivors, "doc_id", "left_semi")
+    n1 = docs.count()
+
+    # 2. near-dup removal (MinHash+LSH candidates, Jaccard-verified)
+    docs = near_dup_filter(docs, jaccard_threshold=args.jaccard)
+    n2 = docs.count()
+
+    # 3. quality filter
+    q = quality_scores(docs)
+    docs = (q.filter((F.col("n_words") >= args.min_words) &
+                     (F.col("stopword_ratio") <= args.max_stop))
+            .select(*docs.columns))
+    n3 = docs.count()
+
+    # 4. language filter (keep confidently-identified allowed languages)
+    allowed = args.langs.split(",")
+    lid = language_id(docs)
+    docs = (lid.filter(F.col("lang_pred").isin(allowed))
+            .select(*[c for c in docs.columns]))
+    n4 = docs.count()
+
+    docs.write.mode("overwrite").parquet(os.path.join(args.out, "clean"))
+    stats = {
+        "job": "clean_corpus", "input": args.input,
+        "rows_in": int(n0),
+        "after_exact_dedup": int(n1),
+        "after_near_dup": int(n2),
+        "after_quality": int(n3),
+        "after_language": int(n4),
+        "kept_frac": round(n4 / n0, 4) if n0 else None,
+        "elapsed_sec": round(time.time() - t0, 2),
+    }
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

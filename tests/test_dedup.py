@@ -86,3 +86,20 @@ def test_hash64_stable():
     assert hash64("spark") == hash64("spark")
     assert hash64("spark") != hash64("spork")
     assert 0 <= hash64("x") < 2 ** 64
+
+
+def test_near_dup_filter_keeps_lowest_id(spark, docs):
+    from duke_spark.operators.dedup import near_dup_filter
+    out = near_dup_filter(docs, jaccard_threshold=0.9).toPandas()
+    kept = set(out["doc_id"])
+    assert 0 in kept and 1 not in kept     # exact pair (jaccard 1.0): keep 0
+    assert {2, 3, 5} <= kept               # below-threshold docs survive
+    # survivors carry original columns unchanged
+    assert list(out.columns) == ["doc_id", "text"]
+
+
+def test_near_dup_filter_threshold_monotone(spark, docs):
+    from duke_spark.operators.dedup import near_dup_filter
+    strict = near_dup_filter(docs, jaccard_threshold=0.99).count()
+    loose = near_dup_filter(docs, jaccard_threshold=0.3).count()
+    assert loose <= strict  # lower threshold drops at least as many
