@@ -255,6 +255,7 @@ def token_stats_docs(spark, sf_dir):
     return (d.groupBy("source")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("total_tokens"),
+                 F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
                  F.max("n_chars_actual").alias("max_chars")))
 
 
@@ -281,6 +282,17 @@ def ann_cosine_topk_docs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     res = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def ivf_ann_topk_docs(spark, sf_dir):
+    """IVF ANN: deterministic hash-sampled centroids, probe-limited cosine
+    search — rows-only (full-probe == exact is pytest-verified)."""
+    from duke_spark.operators.similarity import ivf_cosine_topk
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    res = ivf_cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+                          k_clusters=16, n_probe=4)
     return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -433,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio_docs": stopword_ratio_docs,
         "fingerprint_docs": fingerprint_docs,
         "ann_cosine_topk_docs": ann_cosine_topk_docs,
+        "ivf_ann_topk_docs": ivf_ann_topk_docs,
         "lang_counts_docs": lang_counts_docs,
         "simhash_docs": simhash_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
@@ -549,6 +562,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
                        AS total_tokens,
+                   CAST(SUM(len(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+                       AS BIGINT) AS total_bpe_tokens,
                    MAX(length(text)) AS max_chars
             FROM documents GROUP BY source
         """,

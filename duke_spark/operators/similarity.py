@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from duke_spark.kernel.vectors import unit_norm_rows
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y:
@@ -95,6 +97,63 @@ def ann_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     qbucket = int(((q @ planes) >= 0) @ weights)
     bucketed = lsh_bucket_ids(df, dim, num_planes, seed, vec_col)
     return cosine_topk(bucketed.filter(F.col("bucket") == qbucket),
+                       query_vec, k, vec_col, id_col)
+
+
+def ivf_centroids(df: DataFrame, k_clusters: int = 16, seed: int = 7,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic coarse quantizer: the k corpus vectors with the
+    smallest xxhash64(id ⊕ seed) become centroids (a seeded reservoir —
+    kmeans-quality isn't needed for the partition-pruning effect, and
+    hash-sampling keeps the index build one cheap TakeOrdered instead of
+    an iterative job). Unit-normed so assignment = cosine argmax."""
+    rows = (df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(k_clusters).collect())
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    return unit_norm_rows(mat)
+
+
+def ivf_assign(df: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding",
+               out_col: str = "cluster") -> DataFrame:
+    """Nearest-centroid (cosine) cluster id per row — NumPy matmul per
+    Arrow batch against the broadcast centroid matrix. At 100 TB the
+    cluster id is the stored index's partition key (probe = partition
+    pruning), exactly like the LSH bucket column."""
+    out_fields = df.schema.fields + [T.StructField(out_col, T.IntegerType())]
+    schema = T.StructType(out_fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+            unit = unit_norm_rows(mat)
+            pdf = pdf[cols].copy()
+            pdf[out_col] = np.argmax(unit @ centroids.T,
+                                     axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def ivf_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                    k_clusters: int = 16, n_probe: int = 4, seed: int = 7,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN: assign corpus to centroid clusters, probe only the
+    ``n_probe`` clusters nearest the query, brute-force within.
+    ``n_probe == k_clusters`` degrades to exact search (tested)."""
+    cents = ivf_centroids(df, k_clusters, seed, vec_col, id_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / qn if qn else q
+    probe = np.argsort(-(cents @ q), kind="stable")[:n_probe].tolist()
+    assigned = ivf_assign(df, cents, vec_col)
+    return cosine_topk(assigned.filter(F.col("cluster").isin(probe)),
                        query_vec, k, vec_col, id_col)
 
 

@@ -22,14 +22,25 @@ def words_col(text_col: str = "text"):
     return F.split(F.col(text_col), " ")
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2-style, ASCII subset): a leading
+# space glued to the following word, numbers split out, punctuation runs
+# kept together. Shared verbatim with the DuckDB oracle.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace token count + a BPE-ish subword estimate (≈ chars/4,
-    the common 'one token ≈ 4 chars' heuristic) per row."""
+    """Whitespace token count, a chars/4 subword estimate (the common
+    'one token ≈ 4 chars' heuristic), and a BPE-ish regex pre-token count
+    — all JVM-side."""
     w = words_col(text_col)
     return (df.withColumn("n_tokens", F.size(w))
               .withColumn("n_chars_actual", F.length(text_col))
               .withColumn("n_subword_est",
-                          F.ceil(F.length(text_col) / F.lit(4)).cast("long")))
+                          F.ceil(F.length(text_col) / F.lit(4)).cast("long"))
+              .withColumn("n_bpe_tokens",
+                          F.size(F.regexp_extract_all(
+                              F.col(text_col), F.lit(BPE_PATTERN), 0))
+                          .cast("long")))
 
 
 def quality_scores(df: DataFrame, text_col: str = "text",

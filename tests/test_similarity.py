@@ -79,3 +79,35 @@ def test_embedding_near_dups(spark, emb):
     assert (10, 11) in got
     # random 16-dim gaussians essentially never hit cosine ≥ 0.95
     assert len(got) <= 3
+
+
+def test_ivf_full_probe_equals_exact(spark, emb, emb_pdf):
+    from duke_spark.operators.similarity import ivf_cosine_topk
+    q = emb_pdf["embedding"].iloc[0]
+    exact = cosine_topk(emb, q, k=10).toPandas()
+    ivf = ivf_cosine_topk(emb, q, k=10, k_clusters=8,
+                          n_probe=8).toPandas()
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  ivf.reset_index(drop=True))
+
+
+def test_ivf_probe_recall(spark, emb, emb_pdf):
+    from duke_spark.operators.similarity import ivf_cosine_topk
+    q = emb_pdf["embedding"].iloc[10]  # near-dup pair planted at 10/11
+    exact = set(cosine_topk(emb, q, k=10).toPandas()["vec_id"])
+    ivf = set(ivf_cosine_topk(emb, q, k=10, k_clusters=8,
+                              n_probe=3).toPandas()["vec_id"])
+    # the query's own cluster is probed → its near-identical twin found
+    assert 11 in ivf and 10 in ivf
+    assert len(exact & ivf) / 10 >= 0.4  # partial-probe recall tradeoff
+
+
+def test_ivf_assignment_deterministic(spark, emb):
+    from duke_spark.operators.similarity import ivf_assign, ivf_centroids
+    c1 = ivf_centroids(emb, k_clusters=8)
+    c2 = ivf_centroids(emb.repartition(7), k_clusters=8)
+    np.testing.assert_array_equal(c1, c2)
+    a = ivf_assign(emb, c1).toPandas().set_index("vec_id")["cluster"]
+    b = ivf_assign(emb.repartition(5), c1).toPandas() \
+        .set_index("vec_id")["cluster"]
+    assert a.sort_index().equals(b.sort_index())
