@@ -85,7 +85,8 @@ def _corpus_context(spark: SparkSession, sf_dir: str):
     (count desc, word) — deterministic) + fixture class names. Cached per
     sf_dir: the context is immutable derived state (the reference's
     load-model-once pattern, ``Duke/evaluate.py:78-86``)."""
-    cached = _CTX_CACHE.get(sf_dir)
+    cache_key = (id(spark.sparkContext), sf_dir)  # never reuse a broadcast
+    cached = _CTX_CACHE.get(cache_key)            # across SparkSessions
     if cached is not None:
         return cached
     from duke_spark.fixtures.class_tree import mini_tree
@@ -109,7 +110,7 @@ def _corpus_context(spark: SparkSession, sf_dir: str):
     matrix = np.stack([_word_vector(w, 32) for w in vocab])
     ctx = LinkContext(vocab, matrix, tree)
     bc = spark.sparkContext.broadcast(ctx)
-    _CTX_CACHE[sf_dir] = bc
+    _CTX_CACHE[cache_key] = bc
     return bc
 
 
