@@ -82,3 +82,44 @@ def test_turn_rate_windows_streaming(spark, stream_dirs, tiny_transcripts_pdf,
             for r in turn_rate_windows(
                 spark.createDataFrame(tiny_transcripts_pdf)).collect()}
     assert got == want
+
+
+def test_stateful_running_topics(spark, ctx_bc, stream_dirs,
+                                 tiny_transcripts_pdf, tiny_transcripts):
+    """applyInPandasWithState: after streaming the input in two chunks,
+    every conversation's running topic equals the batch pipeline's."""
+    from duke_spark.operators.mentions import linked_mentions
+    from duke_spark.streaming import stream_transcripts
+    from duke_spark.streaming.stateful import running_conversation_topics
+
+    # split input into two files → two micro-batches in one availableNow
+    # run (maxFilesPerTrigger=1), so state must carry across batches
+    half = len(tiny_transcripts_pdf) // 2
+    _write_chunk(tiny_transcripts_pdf.iloc[:half],
+                 stream_dirs["in"] + "/a.parquet")
+    _write_chunk(tiny_transcripts_pdf.iloc[half:],
+                 stream_dirs["in"] + "/b.parquet")
+
+    stream = stream_transcripts(spark, stream_dirs["in"],
+                                max_files_per_trigger=1)
+    mentions = linked_mentions(stream, ctx_bc)
+    topics = running_conversation_topics(mentions, ctx_bc)
+    q = (topics.writeStream.format("memory").queryName("run_topics")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    # last emitted row per conversation = final running topic
+    final = (spark.sql("select * from run_topics").toPandas()
+             .groupby("conv_id").last())
+
+    from duke_spark.operators.canonical import describe_conversations
+    batch = (describe_conversations(
+        spark, linked_mentions(tiny_transcripts, ctx_bc), ctx_bc)
+        .toPandas().set_index("conv_id"))
+
+    assert set(final.index) == set(batch.index)
+    for conv_id in batch.index:
+        assert final.loc[conv_id, "topic"] == batch.loc[conv_id, "topic"], \
+            conv_id
+        assert final.loc[conv_id, "n_mentions"] == \
+            batch.loc[conv_id, "n_mentions"]
