@@ -102,6 +102,60 @@ def source_score_partials(transcripts: DataFrame, ctx_bc) -> DataFrame:
     return pruned.mapInPandas(run, schema=_PARTIAL_SCHEMA)
 
 
+def describe_dataset(transcripts: DataFrame, ctx_bc,
+                     tree_agg=PRODUCTION_TREE_AGG, top_n: int = 10) -> dict:
+    """Duke's primary CLI output (``Duke/scripts/main.py:31-36``) over the
+    WHOLE table: role columns are the sources, every turn a cell, plus the
+    headers source; returns {"description", "top"} exactly like
+    ``DatasetDescriptor.get_dataset_description`` + ``get_top_n_words``.
+
+    Distributed shape: the per-batch partials (B3 kernel) are reduced to
+    one (source → mean vector) map with a single hash-aggregate shuffle
+    keyed by source (≤ #roles keys); the ≤C-float fold happens on the
+    driver like the reference. Top-k sort semantics match
+    ``Duke/dataset_descriptor.py:91-97`` (score desc, stable)."""
+    partials = source_score_partials(transcripts, ctx_bc)
+    # one hash-agg shuffle keyed by source (≤ #roles keys) reduces the
+    # per-batch partials; only (source, C-float sum, n) rows are collected
+    rows = (partials.groupBy("source")
+            .applyInPandas(_reduce_source_partials,
+                           schema=_PARTIAL_SCHEMA).collect())
+    ctx = ctx_bc.value
+    per_source = []
+    # headers source: roles ∪ tools present anywhere (Duke/dataset.py:63-69)
+    hdr = (transcripts.agg(
+        F.array_sort(F.collect_set("role")).alias("roles"),
+        F.array_sort(F.collect_set("tool")).alias("tools")).collect()[0])
+    from duke_spark.kernel.text import normalize_text
+    names = list(hdr["roles"]) + list(hdr["tools"])
+    hdr_groups = [g for g in (normalize_text(h) for h in names)
+                  if g and ctx.embedding.in_vocab(g)]
+    if hdr_groups:
+        vecs = ctx.embedding.embed_groups(hdr_groups)
+        scores = score_against_classes(vecs, ctx.class_matrix)
+        per_source.append(scores.astype(np.float64).mean(axis=0))
+    for r in sorted(rows, key=lambda r: r["source"]):
+        per_source.append(np.asarray(r["sum_scores"]) / r["n_cells"])
+    if not per_source:
+        return {"description": None, "top": []}
+    folded = [aggregate_tree_scores(ctx.classes, v, ctx.tree, tree_agg)
+              for v in per_source]
+    final = np.mean(np.stack(folded), axis=0)
+    order = np.argsort(-final, kind="stable")[:top_n]
+    top = [(ctx.classes[i], float(final[i])) for i in order]
+    word = pluralize(ctx.classes[int(np.argmax(final))])
+    return {"description": f"This dataset is about {word}.", "top": top}
+
+
+def _reduce_source_partials(pdf: pd.DataFrame) -> pd.DataFrame:
+    sums = np.sum(np.stack(pdf["sum_scores"].to_list()), axis=0)
+    return pd.DataFrame({
+        "conv_id": ["*"], "source": [pdf["source"].iloc[0]],
+        "sum_scores": [sums.tolist()],
+        "n_cells": [int(pdf["n_cells"].sum())],
+    })
+
+
 def describe_conversations_duke(transcripts: DataFrame, ctx_bc,
                                 tree_agg=PRODUCTION_TREE_AGG) -> DataFrame:
     """Full Duke EP1 semantics per conversation (see module docstring)."""

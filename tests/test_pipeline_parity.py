@@ -146,3 +146,19 @@ def test_duke_describe_matches_oracle(spark, tiny_transcripts, ctx_bc,
         assert got.loc[conv_id, "description"] == exp["description"].replace(
             "This dataset is about", "This dataset is about")
     assert n_checked >= 15  # most conversations must be describable
+
+
+def test_describe_dataset_matches_oracle(spark, tiny_transcripts, ctx_bc,
+                                         oracle_ctx, tiny_transcripts_pdf):
+    """Whole-table Duke CLI output (top-N + summary sentence) == oracle
+    run on the entire table as one dataset."""
+    from duke_spark.kernel.oracle import describe_conversation
+    from duke_spark.operators.describe import describe_dataset
+
+    got = describe_dataset(tiny_transcripts, ctx_bc, top_n=5)
+    exp = describe_conversation(oracle_ctx, tiny_transcripts_pdf, top_n=5)
+
+    assert got["description"] == exp["description"]
+    assert [c for c, _ in got["top"]] == [c for c, _ in exp["top"]]
+    for (_, a), (_, b) in zip(got["top"], exp["top"]):
+        assert abs(a - b) < 1e-6
