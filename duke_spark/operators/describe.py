@@ -114,6 +114,15 @@ def describe_dataset(transcripts: DataFrame, ctx_bc,
     keyed by source (≤ #roles keys); the ≤C-float fold happens on the
     driver like the reference. Top-k sort semantics match
     ``Duke/dataset_descriptor.py:91-97`` (score desc, stable)."""
+    per_source = dataset_source_means(transcripts, ctx_bc)
+    return _fold_and_describe(per_source, ctx_bc.value, tree_agg, top_n)
+
+
+def dataset_source_means(transcripts: DataFrame, ctx_bc) -> list:
+    """Per-source mean class-score vectors for the whole table (headers
+    source first, then roles sorted) — the embed-once intermediate shared
+    by ``describe_dataset`` and the heuristic config grid
+    (``Duke/evaluate.py:78-91`` reuse pattern)."""
     partials = source_score_partials(transcripts, ctx_bc)
     # one hash-agg shuffle keyed by source (≤ #roles keys) reduces the
     # per-batch partials; only (source, C-float sum, n) rows are collected
@@ -136,6 +145,10 @@ def describe_dataset(transcripts: DataFrame, ctx_bc,
         per_source.append(scores.astype(np.float64).mean(axis=0))
     for r in sorted(rows, key=lambda r: r["source"]):
         per_source.append(np.asarray(r["sum_scores"]) / r["n_cells"])
+    return per_source
+
+
+def _fold_and_describe(per_source: list, ctx, tree_agg, top_n: int) -> dict:
     if not per_source:
         return {"description": None, "top": []}
     folded = [aggregate_tree_scores(ctx.classes, v, ctx.tree, tree_agg)
@@ -145,6 +158,23 @@ def describe_dataset(transcripts: DataFrame, ctx_bc,
     top = [(ctx.classes[i], float(final[i])) for i in order]
     word = pluralize(ctx.classes[int(np.argmax(final))])
     return {"description": f"This dataset is about {word}.", "top": top}
+
+
+def heuristic_top_words(transcripts: DataFrame, ctx_bc,
+                        configs=None, top_n: int = 5) -> pd.DataFrame:
+    """The reference's label-free harness (``Duke/heuristic_evaluate.py:
+    89-98``): top-N classes per aggregation config, embed-once. Returns a
+    pandas frame (config, rank, class, score) for human inspection."""
+    from duke_spark.eval import config_grid
+    configs = configs or config_grid()
+    per_source = dataset_source_means(transcripts, ctx_bc)
+    ctx = ctx_bc.value
+    rows = []
+    for name, agg in configs.items():
+        res = _fold_and_describe(per_source, ctx, agg, top_n)
+        for rank, (cls, score) in enumerate(res["top"]):
+            rows.append((name, rank, cls, score))
+    return pd.DataFrame(rows, columns=["config", "rank", "class", "score"])
 
 
 def _reduce_source_partials(pdf: pd.DataFrame) -> pd.DataFrame:

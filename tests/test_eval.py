@@ -56,3 +56,21 @@ def test_grid_eval_and_ranking(spark, tiny_transcripts, ctx_bc,
         spark.createDataFrame(results), top_n=4).toPandas()
     assert len(ranked) == 4
     assert ranked["mean_gap"].is_monotonic_decreasing
+
+
+def test_heuristic_top_words(spark, tiny_transcripts, ctx_bc):
+    """Label-free grid: top-5 classes per config, production config's
+    top-1 must match describe_dataset's."""
+    from duke_spark.operators.describe import (describe_dataset,
+                                               heuristic_top_words)
+    out = heuristic_top_words(tiny_transcripts, ctx_bc, top_n=5)
+    assert set(out["config"]) == set(config_grid())
+    assert (out.groupby("config").size() == 5).all()
+    prod = out[(out["config"] == "parent=mean,children=max") &
+               (out["rank"] == 0)]
+    ref = describe_dataset(tiny_transcripts, ctx_bc, top_n=1)
+    assert prod["class"].iloc[0] == ref["top"][0][0]
+    # scores within a config are emitted in descending order
+    for _, grp in out.groupby("config"):
+        s = grp.sort_values("rank")["score"].to_numpy()
+        assert (np.diff(s) <= 1e-12).all()
