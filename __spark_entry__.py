@@ -85,8 +85,10 @@ def _corpus_context(spark: SparkSession, sf_dir: str):
     (count desc, word) — deterministic) + fixture class names. Cached per
     sf_dir: the context is immutable derived state (the reference's
     load-model-once pattern, ``Duke/evaluate.py:78-86``)."""
-    cache_key = (id(spark.sparkContext), sf_dir)  # never reuse a broadcast
-    cached = _CTX_CACHE.get(cache_key)            # across SparkSessions
+    # applicationId is unique per SparkContext (unlike id(), which can be
+    # recycled after GC), so a broadcast is never reused across contexts
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CTX_CACHE.get(cache_key)
     if cached is not None:
         return cached
     from duke_spark.fixtures.class_tree import mini_tree
@@ -317,8 +319,9 @@ def lang_counts_docs(spark, sf_dir):
 
 
 def simhash_docs(spark, sf_dir):
-    """64-bit SimHash per doc (FNV-1a word hashes, per-bit majority) —
-    non-SQL (bit-matrix kernel); rows-only check, pytest-verified."""
+    """64-bit SimHash per doc (JVM xxhash64 word hashes, per-bit
+    majority) — the production variant; pytest-verified. The md5-hash
+    variant below (``simhash_md5_docs``) carries the DuckDB oracle."""
     from duke_spark.operators.dedup import simhash64
     return simhash64(_t_par(spark, sf_dir, "documents")
                      .select("doc_id", "text"))

@@ -19,4 +19,4 @@ Layout:
   streaming/  Structured Streaming variants
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

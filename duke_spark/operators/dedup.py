@@ -15,8 +15,8 @@ inside mapInPandas. Shuffle shape notes per operator.
                          SQL-expressible (oracle-checked in the driver
                          contract); use for verification / small τ-sweeps,
                          LSH for the 100 TB path.
-  * simhash64          — 64-bit SimHash from per-word md5 bits; Hamming
-                         bucket join for near-dups.
+  * simhash64          — 64-bit SimHash from JVM-side xxhash64 word
+                         hashes; Hamming bucket join for near-dups.
 """
 
 from __future__ import annotations
@@ -222,8 +222,6 @@ def simhash64(df: DataFrame, text_col: str = "text",
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bit_idx = np.arange(64, dtype=np.uint64)
-        weights = np.uint64(1) << bit_idx
         for pdf in batches:
             lens = pdf["hashes"].map(len).to_numpy(dtype=np.int64)
             keep = lens > 0
@@ -233,10 +231,19 @@ def simhash64(df: DataFrame, text_col: str = "text",
             flat = np.concatenate(pdf["hashes"].to_list()).astype(np.uint64)
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
-            bits = (flat[:, None] >> bit_idx[None, :]) & np.uint64(1)
-            counts = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
-            votes = counts * 2 >= lens[:, None]
-            sigs = (votes.astype(np.uint64) * weights).sum(axis=1)
+            # One bit position at a time into a reused buffer: peak extra
+            # memory is O(total_words), not the O(total_words × 64) bit
+            # matrix a single vectorized unpack would materialize (multi-GB
+            # per Arrow batch on long documents).
+            lens_u64 = lens.astype(np.uint64)
+            sigs = np.zeros(len(lens), dtype=np.uint64)
+            tmp = np.empty_like(flat)
+            for b in range(64):
+                np.right_shift(flat, np.uint64(b), out=tmp)
+                np.bitwise_and(tmp, np.uint64(1), out=tmp)
+                ones = np.add.reduceat(tmp, starts)
+                vote = (ones * np.uint64(2) >= lens_u64).astype(np.uint64)
+                sigs |= vote << np.uint64(b)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
                                 "simhash": sigs.view(np.int64)})
 

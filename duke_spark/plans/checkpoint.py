@@ -35,6 +35,12 @@ MANIFEST_DIR = "_manifest"
 
 TURN_BUCKET = 64
 
+# Identifies the partition function used to compute part_id. A checkpoint
+# written under one scheme MUST NOT be resumed under another: completed_parts
+# would then describe a different row→part mapping, silently duplicating and
+# dropping triples. Bump this string whenever with_part_id changes shape.
+PARTITION_SCHEME = f"pmod(xxhash64(conv_id, floor(turn_idx/{TURN_BUCKET})), P)"
+
 
 def with_part_id(df: DataFrame, num_parts: int,
                  key: str = "conv_id") -> DataFrame:
@@ -55,18 +61,51 @@ def with_part_id(df: DataFrame, num_parts: int,
 
 
 class TripleCheckpoint:
+    """NOTE: manifests AND the per-part row-count audit are driver-local
+    filesystem operations (os.listdir + pyarrow footer reads), so
+    ``out_dir`` must be a path on a filesystem the driver can see (local
+    disk, NFS, or a mounted object store). The Spark data write itself
+    accepts any Hadoop URI, so the constructor rejects scheme-prefixed
+    paths up front rather than failing late in ``_count_written``."""
+
     def __init__(self, out_dir: str, num_parts: int = 64):
+        if "://" in out_dir:
+            raise ValueError(
+                f"TripleCheckpoint requires a driver-local path, got "
+                f"{out_dir!r} — manifest bookkeeping uses os/pyarrow, not "
+                "the Hadoop FileSystem API (mount the store or use a local "
+                "staging dir)")
         self.out_dir = out_dir
         self.num_parts = num_parts
         self.manifest_dir = os.path.join(out_dir, MANIFEST_DIR)
         self.data_dir = os.path.join(out_dir, "triples")
 
     def completed_parts(self) -> Set[int]:
+        """Partition ids with a committed manifest, after validating that
+        each manifest was written under the CURRENT partition scheme and
+        part count. A scheme/num_parts mismatch (including legacy manifests
+        that predate the ``partition_scheme`` key) raises instead of
+        resuming wrong: the recorded parts map rows differently, so
+        'completed' would silently mean duplicated + missing rows."""
         if not os.path.isdir(self.manifest_dir):
             return set()
         out = set()
         for name in os.listdir(self.manifest_dir):
             if name.startswith("part_") and name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    meta = json.load(f)
+                scheme = meta.get("partition_scheme")
+                if scheme != PARTITION_SCHEME or \
+                        meta.get("num_parts") != self.num_parts:
+                    raise ValueError(
+                        f"checkpoint {self.out_dir} was written under "
+                        f"partition scheme {scheme!r} with "
+                        f"num_parts={meta.get('num_parts')} (engine "
+                        f"{meta.get('engine_version')}); current scheme is "
+                        f"{PARTITION_SCHEME!r} with num_parts="
+                        f"{self.num_parts}. Resuming would duplicate/drop "
+                        "rows — delete the checkpoint dir or rerun with the "
+                        "recorded settings.")
                 out.add(int(name[5:-5]))
         return out
 
@@ -80,6 +119,7 @@ class TripleCheckpoint:
                 "rows": nrows,
                 "input": input_path,
                 "engine_version": duke_spark.__version__,
+                "partition_scheme": PARTITION_SCHEME,
                 "num_parts": self.num_parts,
                 "wall_seconds": elapsed,
                 "completed_at": now,

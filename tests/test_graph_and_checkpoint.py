@@ -90,6 +90,42 @@ def test_checkpoint_resume_idempotent(spark, tiny_transcripts, ctx_bc,
     assert total == len(got)
 
 
+def test_checkpoint_rejects_foreign_partition_scheme(spark, tiny_transcripts,
+                                                     ctx_bc, tmp_path):
+    """Resume guard: manifests written under a different partition function
+    (legacy conv_id-only hash, or a different part count) must refuse to
+    resume rather than silently duplicate/drop rows."""
+    out = str(tmp_path / "kg_guard")
+    ck = TripleCheckpoint(out, num_parts=8)
+    ck.run(spark, tiny_transcripts, ctx_bc, input_path="tiny", max_parts=2)
+
+    # legacy manifest: no partition_scheme key (pre-0.2.0 layout)
+    mdir = os.path.join(out, "_manifest")
+    name = sorted(os.listdir(mdir))[0]
+    with open(os.path.join(mdir, name)) as f:
+        m = json.load(f)
+    del m["partition_scheme"]
+    with open(os.path.join(mdir, name), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="partition scheme"):
+        ck.run(spark, tiny_transcripts, ctx_bc, input_path="tiny")
+
+    # num_parts mismatch is refused too
+    with open(os.path.join(mdir, name), "w") as f:
+        json.dump({**m, "partition_scheme":
+                   __import__("duke_spark.plans.checkpoint",
+                              fromlist=["PARTITION_SCHEME"]
+                              ).PARTITION_SCHEME}, f)
+    ck16 = TripleCheckpoint(out, num_parts=16)
+    with pytest.raises(ValueError, match="num_parts"):
+        ck16.completed_parts()
+
+
+def test_checkpoint_rejects_remote_uri(tmp_path):
+    with pytest.raises(ValueError, match="driver-local"):
+        TripleCheckpoint("s3a://bucket/kg_out")
+
+
 def test_checkpoint_partition_ids_deterministic(spark, tiny_transcripts):
     from duke_spark.plans.checkpoint import with_part_id
     key = ["conv_id", "turn_idx"]
