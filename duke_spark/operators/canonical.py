@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from duke_spark.kernel.tree import PRODUCTION_TREE_AGG, aggregate_tree_scores
+from duke_spark.kernel.vectors import score_against_classes
 from duke_spark.operators.linking import LinkContext, score_mentions_batch
 
 _ENTITY_SCORES_SCHEMA = T.StructType([
@@ -83,30 +84,81 @@ def canonical_types_df(spark, mentions: DataFrame, ctx_bc,
     return spark.createDataFrame(pdf, schema)
 
 
+_CONV_PARTIAL_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("sum_scores", T.ArrayType(T.DoubleType())),
+    T.StructField("n", T.LongType()),
+])
+
+
+def _conv_score_partials(mentions: DataFrame, ctx_bc) -> DataFrame:
+    """Per-Arrow-batch partial (conv_id, Σ score-vec, n) — the map-side
+    combine for all per-conversation scoring (same shape as
+    ``describe.source_score_partials``).
+
+    Each distinct mention in the batch is embedded + scored ONCE
+    (factorize → one matmul), then fanned out to its (conv, mention)
+    occurrence counts with one weighted ``np.add.at``. A mention appearing
+    in 10k conversations is therefore scored once per batch it occurs in —
+    never once per conversation, which made the old
+    groupBy(conv_id).applyInPandas re-score path the slowest bench query.
+    Shuffle volume is O(batches × convs-per-batch × C) float64, never
+    O(mentions × C)."""
+    pruned = mentions.select("conv_id", "mention")
+
+    def run(batches):
+        ctx: LinkContext = ctx_bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes_m, uniq_m = pd.factorize(pdf["mention"])
+            vecs = ctx.embedding.embed_groups(
+                [m.split(" ") for m in uniq_m])
+            scores = score_against_classes(
+                vecs, ctx.class_matrix).astype(np.float64)
+            codes_c, uniq_c = pd.factorize(pdf["conv_id"])
+            # collapse to (conv, mention) pairs so the score gather is
+            # O(distinct pairs × C), not O(rows × C)
+            pair = codes_c.astype(np.int64) * len(uniq_m) + codes_m
+            pcodes, puniq = pd.factorize(pair)
+            w = np.bincount(pcodes).astype(np.float64)
+            pc = puniq // len(uniq_m)
+            pm = puniq % len(uniq_m)
+            sums = np.zeros((len(uniq_c), scores.shape[1]))
+            np.add.at(sums, pc, scores[pm] * w[:, None])
+            counts = np.bincount(codes_c, minlength=len(uniq_c))
+            yield pd.DataFrame({
+                "conv_id": uniq_c,
+                "sum_scores": list(sums),
+                "n": counts.astype(np.int64),
+            })
+
+    return pruned.mapInPandas(run, schema=_CONV_PARTIAL_SCHEMA)
+
+
 def conversation_class_scores(mentions: DataFrame, ctx_bc) -> DataFrame:
     """Per-conversation mean class-score vector (the distributed analogue of
     Duke's per-source row aggregation, ``Duke/dataset_descriptor.py:73-74``)
-    — reused by the flagship 'what is this conversation about?' query."""
-    counts = (mentions
-              .groupBy("conv_id", "mention")
-              .agg(F.count(F.lit(1)).alias("cnt")))
-
+    — reused by the flagship 'what is this conversation about?' query.
+    Built from batch partials (see ``_conv_score_partials``); the reduce
+    only sums C-float arrays, no re-embedding anywhere."""
     schema = T.StructType([
         T.StructField("conv_id", T.StringType()),
         T.StructField("n_mentions", T.LongType()),
         T.StructField("mean_scores", T.ArrayType(T.DoubleType())),
     ])
 
-    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        ctx: LinkContext = ctx_bc.value
-        mean_vec = score_mentions_batch(pdf["mention"], pdf["cnt"], ctx)
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        sums = np.sum(np.stack(pdf["sum_scores"].to_list()), axis=0)
+        n = int(pdf["n"].sum())
         return pd.DataFrame({
             "conv_id": [pdf["conv_id"].iloc[0]],
-            "n_mentions": [int(pdf["cnt"].sum())],
-            "mean_scores": [mean_vec.tolist()],
+            "n_mentions": [n],
+            "mean_scores": [(sums / n).tolist()],
         })
 
-    return counts.groupBy("conv_id").applyInPandas(agg_group, schema=schema)
+    return (_conv_score_partials(mentions, ctx_bc)
+            .groupBy("conv_id").applyInPandas(reduce_group, schema=schema))
 
 
 def describe_conversations(spark, mentions: DataFrame, ctx_bc,
@@ -118,12 +170,9 @@ def describe_conversations(spark, mentions: DataFrame, ctx_bc,
     conversations are unbounded, so the tree fold runs INSIDE the
     ``applyInPandas`` group worker (it is a pure function of the broadcast
     context) and only (conv_id, topic) rows ever leave the workers — no
-    per-conversation score vectors on the driver at any scale."""
+    per-conversation score vectors on the driver at any scale. Scoring
+    happens once per distinct mention per batch in the partial stage."""
     from duke_spark.kernel.text import pluralize
-
-    counts = (mentions
-              .groupBy("conv_id", "mention")
-              .agg(F.count(F.lit(1)).alias("cnt")))
 
     schema = T.StructType([
         T.StructField("conv_id", T.StringType()),
@@ -132,17 +181,19 @@ def describe_conversations(spark, mentions: DataFrame, ctx_bc,
         T.StructField("n_mentions", T.LongType()),
     ])
 
-    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
         ctx: LinkContext = ctx_bc.value
-        mean_vec = score_mentions_batch(pdf["mention"], pdf["cnt"], ctx)
-        agg = aggregate_tree_scores(ctx.classes, mean_vec, ctx.tree,
+        sums = np.sum(np.stack(pdf["sum_scores"].to_list()), axis=0)
+        n = int(pdf["n"].sum())
+        agg = aggregate_tree_scores(ctx.classes, sums / n, ctx.tree,
                                     tree_agg)
         top = ctx.classes[int(np.argmax(agg))]
         return pd.DataFrame({
             "conv_id": [pdf["conv_id"].iloc[0]],
             "topic": [top],
             "description": [f"This conversation is about {pluralize(top)}."],
-            "n_mentions": [int(pdf["cnt"].sum())],
+            "n_mentions": [n],
         })
 
-    return counts.groupBy("conv_id").applyInPandas(agg_group, schema=schema)
+    return (_conv_score_partials(mentions, ctx_bc)
+            .groupBy("conv_id").applyInPandas(finalize, schema=schema))
