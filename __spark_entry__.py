@@ -298,13 +298,16 @@ def ann_cosine_topk_docs(spark, sf_dir):
 
 
 def ivf_ann_topk_docs(spark, sf_dir):
-    """IVF ANN: deterministic hash-sampled centroids, probe-limited cosine
-    search — rows-only (full-probe == exact is pytest-verified)."""
-    from duke_spark.operators.similarity import ivf_cosine_topk
+    """IVF ANN, oracle-checked end to end: md5-sampled centroids,
+    Catalyst greatest-of-structs assignment, probe-limited cosine top-k —
+    every float sequential-double so DuckDB reproduces it exactly. The
+    NumPy-kernel production variant (``ivf_cosine_topk``) is
+    pytest-verified (full-probe == exact)."""
+    from duke_spark.operators.similarity import ivf_cosine_topk_md5
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    res = ivf_cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10,
-                          k_clusters=16, n_probe=4)
+    res = ivf_cosine_topk_md5(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+                              k_clusters=16, n_probe=4)
     return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -319,33 +322,33 @@ def lang_counts_docs(spark, sf_dir):
 
 
 def simhash_docs(spark, sf_dir):
-    """64-bit SimHash per doc (JVM xxhash64 word hashes, per-bit
-    majority) — the production variant; pytest-verified. The md5-hash
-    variant below (``simhash_md5_docs``) carries the DuckDB oracle."""
-    from duke_spark.operators.dedup import simhash64
-    return simhash64(_t_par(spark, sf_dir, "documents")
-                     .select("doc_id", "text"))
+    """64-bit SimHash per doc, md5-hash words (== DuckDB
+    md5_number_lower), per-bit majority vote — oracle-checked bit for
+    bit. The xxhash64 production variant (``dedup.simhash64``) is
+    pytest-verified against a per-doc reference."""
+    from duke_spark.operators.dedup import simhash64_md5
+    return simhash64_md5(_t_par(spark, sf_dir, "documents")
+                         .select("doc_id", "text"))
 
 
 def minhash_lsh_pairs_docs(spark, sf_dir):
-    """MinHash(64) + 16-band LSH candidate pairs — the 100 TB near-dup
-    path. Non-SQL (hash-perm kernel); rows-only; recall vs exact Jaccard
-    is pytest-verified."""
-    from duke_spark.operators.dedup import (lsh_candidate_pairs,
-                                            minhash_signatures)
+    """MinHash(32) + 8-band LSH candidate pairs, md5 row hashes and
+    concat band keys — oracle-checked pair for pair. The xxhash64
+    production path (``minhash_signatures``+``lsh_candidate_pairs``) is
+    pytest-verified (recall vs exact Jaccard)."""
+    from duke_spark.operators.dedup import minhash_lsh_pairs_md5
     docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
-    return lsh_candidate_pairs(minhash_signatures(docs))
+    return minhash_lsh_pairs_md5(docs)
 
 
 def embedding_near_dups_docs(spark, sf_dir):
-    """Embedding-cosine near-dups within LSH buckets (seeded planes) —
-    rows-only; bucket-recall tradeoff pytest-verified."""
-    from duke_spark.operators.similarity import embedding_near_dups
+    """Embedding-cosine near-dups within coordinate-sign LSH buckets
+    (4 planes → 16 buckets) — pure Catalyst, oracle-checked. The
+    Gaussian-plane NumPy variant (``embedding_near_dups``) is
+    pytest-verified (bucket-recall tradeoff)."""
+    from duke_spark.operators.similarity import cosine_near_dup_pairs
     emb = _t(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
-    # 4 planes → 16 buckets (~n/16 per bucket): sized so random fixture
-    # vectors yield candidates; at 100 TB num_planes rises with corpus size
-    return embedding_near_dups(emb, threshold=0.3, dim=dim, num_planes=4)
+    return cosine_near_dup_pairs(emb, threshold=0.3, num_planes=4)
 
 
 def _docs_as_media(spark, sf_dir):
@@ -469,6 +472,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_duke_describe": kg_duke_describe,
         "kg_conv_topics": kg_conv_topics,
     }
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs_md5 (same shingles, same
+    md5('i:'||s) row hashes, same concat band keys)."""
+    r = num_hashes // bands
+    sig_cols = ",\n                    ".join(
+        f"MIN(md5('{i}:' || s)) AS h{i}" for i in range(num_hashes))
+    band_union = "\n              UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        + " || '|' || ".join(f"h{b * r + j}" for j in range(r))
+        + " AS band_key FROM sig"
+        for b in range(bands))
+    return f"""
+            WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                           FROM documents),
+            sh AS (SELECT DISTINCT doc_id,
+                          unnest(list_transform(
+                              range(1, greatest(len(w) - 1, 2)),
+                              i -> array_to_string(w[i:i+2], ' '))) AS s
+                   FROM words),
+            sig AS (SELECT doc_id, {sig_cols}
+                    FROM sh GROUP BY doc_id),
+            bands AS ({band_union})
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id
+        """
+
+
+def _coord_bucket_sql(col: str, num_planes: int = 4) -> str:
+    return " + ".join(
+        f"CASE WHEN {col}[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(num_planes))
+
+
+_COS = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), "
+        "CAST({a} AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), "
+        "CAST({b} AS DOUBLE[]))))")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -662,9 +707,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_samples) AS BIGINT) AS total_samples
             FROM m GROUP BY kind
         """,
-        # kg_triples_docs / kg_conv_topics / simhash_docs /
-        # minhash_lsh_pairs_docs / embedding_near_dups_docs:
-        # non-SQL-expressible (pandas-UDF hash/matmul kernels) — rows-only
-        # driver check; parity/recall is enforced in pytest
-        # (test_pipeline_parity.py, test_dedup.py, test_similarity.py).
+        "simhash_docs": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))
+                              AS word FROM documents),
+            h AS (SELECT doc_id, md5_number_lower(word) AS hv FROM w),
+            b AS (SELECT doc_id, bit,
+                         (SUM(CASE WHEN ((hv >> bit) & 1) = 1
+                                   THEN 1 ELSE 0 END) * 2
+                            >= COUNT(*)) AS isset
+                  FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) bits
+                  GROUP BY doc_id, bit)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN NOT isset THEN 0
+                                 WHEN bit = 63 THEN -9223372036854775808
+                                 ELSE (CAST(1 AS BIGINT) << bit)
+                            END) AS BIGINT) AS simhash
+            FROM b GROUP BY doc_id
+        """,
+        "minhash_lsh_pairs_docs": _minhash_lsh_oracle(),
+        "embedding_near_dups_docs": f"""
+            WITH b AS (SELECT vec_id, embedding,
+                              ({_coord_bucket_sql('embedding')}) AS bucket
+                       FROM embeddings),
+            p AS (SELECT l.vec_id AS pa, r.vec_id AS pb,
+                         {_COS.format(a='l.embedding', b='r.embedding')}
+                             AS cos_raw
+                  FROM b l JOIN b r
+                    ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+            SELECT pa AS a, pb AS b, ROUND(cos_raw, 6) AS cosine
+            FROM p WHERE cos_raw >= 0.3
+        """,
+        "ivf_ann_topk_docs": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            cents AS (SELECT row_number() OVER (
+                                 ORDER BY md5('7:' || CAST(vec_id AS VARCHAR)),
+                                          vec_id) - 1 AS cid,
+                             embedding AS cv
+                      FROM embeddings WHERE vec_id <> 0
+                      ORDER BY md5('7:' || CAST(vec_id AS VARCHAR)), vec_id
+                      LIMIT 16),
+            probes AS (SELECT cid FROM cents, q
+                       ORDER BY {_COS.format(a='cv', b='qv')} DESC, cid
+                       LIMIT 4),
+            scored AS (SELECT e.vec_id,
+                              {_COS.format(a='e.embedding', b='q.qv')}
+                                  AS cosine,
+                              max(struct_pack(
+                                  c := {_COS.format(a='e.embedding',
+                                                    b='c2.cv')},
+                                  cid := c2.cid)) AS best
+                       FROM embeddings e, q, cents c2
+                       WHERE e.vec_id <> 0
+                       GROUP BY 1, 2)
+            SELECT vec_id, ROUND(cosine, 6) AS cosine
+            FROM scored WHERE best.cid IN (SELECT cid FROM probes)
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        # kg_triples_docs / kg_vertices / kg_duke_describe /
+        # kg_conv_topics: non-SQL-expressible (pandas-UDF embedding matmul
+        # + ontology tree fold) — rows-only driver check; P/R=1.0 parity
+        # is enforced in pytest (test_pipeline_parity.py).
     }

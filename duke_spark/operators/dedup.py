@@ -229,22 +229,106 @@ def simhash64(df: DataFrame, text_col: str = "text",
                 continue
             pdf, lens = pdf[keep], lens[keep]
             flat = np.concatenate(pdf["hashes"].to_list()).astype(np.uint64)
-            starts = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=starts[1:])
-            # One bit position at a time into a reused buffer: peak extra
-            # memory is O(total_words), not the O(total_words × 64) bit
-            # matrix a single vectorized unpack would materialize (multi-GB
-            # per Arrow batch on long documents).
-            lens_u64 = lens.astype(np.uint64)
-            sigs = np.zeros(len(lens), dtype=np.uint64)
-            tmp = np.empty_like(flat)
-            for b in range(64):
-                np.right_shift(flat, np.uint64(b), out=tmp)
-                np.bitwise_and(tmp, np.uint64(1), out=tmp)
-                ones = np.add.reduceat(tmp, starts)
-                vote = (ones * np.uint64(2) >= lens_u64).astype(np.uint64)
-                sigs |= vote << np.uint64(b)
+            sigs = _majority_vote_sigs(flat, lens)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
                                 "simhash": sigs.view(np.int64)})
 
     return words_df.mapInPandas(run, schema=schema)
+
+
+def _majority_vote_sigs(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-doc 64-bit majority vote over concatenated word hashes.
+    ``flat`` is uint64 word hashes for all docs back to back; ``lens`` the
+    per-doc word counts (all > 0). One bit position at a time into a
+    reused buffer: peak extra memory is O(total_words), not the
+    O(total_words × 64) bit matrix a single vectorized unpack would
+    materialize (multi-GB per Arrow batch on long documents)."""
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    lens_u64 = lens.astype(np.uint64)
+    sigs = np.zeros(len(lens), dtype=np.uint64)
+    tmp = np.empty_like(flat)
+    for b in range(64):
+        np.right_shift(flat, np.uint64(b), out=tmp)
+        np.bitwise_and(tmp, np.uint64(1), out=tmp)
+        ones = np.add.reduceat(tmp, starts)
+        vote = (ones * np.uint64(2) >= lens_u64).astype(np.uint64)
+        sigs |= vote << np.uint64(b)
+    return sigs
+
+
+def simhash64_md5(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """SimHash with md5-derived word hashes — the oracle-checkable twin of
+    ``simhash64``. Word hash = bytes [8:16] of the md5 digest read
+    little-endian, exactly DuckDB's ``md5_number_lower``, so a plain-SQL
+    oracle can recompute the signature bit for bit. md5 runs JVM-side
+    (``unhex(md5(word))`` in whole-stage codegen); Python only reads the
+    16-byte digests (no per-word hashing in Python)."""
+    words_df = df.select(
+        id_col,
+        F.transform(F.split(F.col(text_col), " "),
+                    lambda w: F.unhex(F.md5(w.cast("binary"))))
+        .alias("digests"))
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens = pdf["digests"].map(len).to_numpy(dtype=np.int64)
+            keep = lens > 0
+            if not keep.any():
+                continue
+            pdf, lens = pdf[keep], lens[keep]
+            exploded = pdf["digests"].explode().to_list()
+            # 16-byte digests → uint64 of bytes [8:16], little-endian
+            # ([1::2] of the LE uint64 view) == DuckDB md5_number_lower
+            flat = np.frombuffer(b"".join(exploded),
+                                 dtype="<u8")[1::2].astype(np.uint64)
+            sigs = _majority_vote_sigs(flat, lens)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "simhash": sigs.view(np.int64)})
+
+    return words_df.mapInPandas(run, schema=schema)
+
+
+def minhash_lsh_pairs_md5(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", num_hashes: int = 32,
+                          bands: int = 8,
+                          shingle_len: int = 3) -> DataFrame:
+    """Oracle-checkable MinHash+LSH candidate pairs.
+
+    Same banding semantics as ``minhash_signatures`` +
+    ``lsh_candidate_pairs`` (the xxhash64 production path), but every hash
+    is plain SQL: sig[i] = MIN(md5("i:" ‖ shingle)) over the doc's
+    distinct shingles (lexicographic min of the hex string == numeric min
+    of the 128-bit value), and a band's key is the concat of its sig rows
+    — no band re-hash, so DuckDB reproduces pairs exactly. All hashing is
+    JVM-side codegen; ~k md5s per distinct shingle, so prefer the
+    xxhash64 path when the output isn't being cross-checked."""
+    r = num_hashes // bands
+    assert bands * r == num_hashes
+    sh = (with_shingles(df.select(id_col, text_col), text_col,
+                        n=shingle_len)
+          .select(id_col,
+                  F.explode(F.array_distinct("shingles")).alias("s")))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))
+                        .cast("binary"))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    band_keys = [F.concat_ws("|", *[F.col(f"h{b * r + j}")
+                                    for j in range(r)])
+                 for b in range(bands)]
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key"))
+    left, right = banded.alias("l"), banded.alias("r")
+    return (left.join(right,
+                      (F.col("l.band_idx") == F.col("r.band_idx")) &
+                      (F.col("l.band_key") == F.col("r.band_key")) &
+                      (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .select(F.col(f"l.{id_col}").alias("a"),
+                    F.col(f"r.{id_col}").alias("b"))
+            .distinct())

@@ -157,6 +157,101 @@ def ivf_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                        query_vec, k, vec_col, id_col)
 
 
+def coord_sign_bucket(vec_col: str = "embedding", num_planes: int = 4):
+    """Coordinate-sign LSH bucket (axis-aligned hyperplanes): bit j is
+    sign(v[j]) — pure Catalyst, so a SQL oracle reproduces it verbatim.
+    A degenerate but valid member of the hyperplane-LSH family; the
+    Gaussian-plane variant (``lsh_bucket_ids``) is the production path."""
+    bits = [F.when(F.col(vec_col).getItem(j) >= 0, F.lit(1 << j))
+            .otherwise(F.lit(0)) for j in range(num_planes)]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                          num_planes: int = 4,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold within coordinate-sign
+    LSH buckets — the oracle-checkable twin of ``embedding_near_dups``.
+    Everything is Catalyst: bucket bits, the bucket-keyed self-join, and a
+    sequential-double cosine (zip_with/aggregate fold — the same
+    evaluation order as DuckDB's list_dot_product, so values match bit
+    for bit). The join shuffles on the bucket key only; candidate volume
+    is Σ bucket², the standard LSH bound."""
+    b = df.select(F.col(id_col), F.col(vec_col),
+                  coord_sign_bucket(vec_col, num_planes).alias("bucket"))
+    left, right = b.alias("l"), b.alias("r")
+    lv, rv = F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")
+    cos = _dot(lv, rv) / (F.sqrt(_dot(lv, lv)) * F.sqrt(_dot(rv, rv)))
+    return (left.join(right,
+                      (F.col("l.bucket") == F.col("r.bucket")) &
+                      (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+            .withColumn("cos_raw", cos)
+            .filter(F.col("cos_raw") >= threshold)
+            .select(F.col(f"l.{id_col}").alias("a"),
+                    F.col(f"r.{id_col}").alias("b"),
+                    F.round("cos_raw", 6).alias("cosine")))
+
+
+def ivf_cosine_topk_md5(df: DataFrame, query_vec: Sequence[float],
+                        k: int = 10, k_clusters: int = 16, n_probe: int = 4,
+                        seed: int = 7, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Oracle-checkable IVF ANN twin of ``ivf_cosine_topk``: centroids are
+    the ``k_clusters`` corpus rows with the smallest md5(seed:id) hex
+    (SQL-reproducible sampling), assignment is a Catalyst greatest-of-
+    structs over per-centroid cosines (sequential-double fold, DuckDB
+    struct-max tie semantics: score then cluster id), probing keeps the
+    ``n_probe`` centroids nearest the query. No NumPy anywhere, so every
+    float matches the SQL oracle bit for bit."""
+    import math
+
+    cent_rows = (df.select(id_col, vec_col)
+                 .orderBy(F.md5(F.concat(F.lit(f"{seed}:"),
+                                         F.col(id_col).cast("string"))
+                                .cast("binary")), F.col(id_col))
+                 .limit(k_clusters).collect())
+    q = [float(x) for x in query_vec]
+    dqq = 0.0
+    for x in q:
+        dqq += x * x
+    qn = math.sqrt(dqq)
+
+    def _py_cos(vec) -> float:
+        # plain sequential loop == the SQL fold order, so probe selection
+        # agrees with the oracle exactly
+        d = 0.0
+        dcc = 0.0
+        for x, y in zip(vec, q):
+            d += float(x) * y
+        for x in vec:
+            dcc += float(x) * float(x)
+        return d / (math.sqrt(dcc) * qn)
+
+    order = sorted(range(len(cent_rows)),
+                   key=lambda j: (-_py_cos(cent_rows[j][vec_col]), j))
+    probe = sorted(order[:n_probe])
+
+    structs = []
+    v = F.col(vec_col)
+    nv = F.sqrt(_dot(v, v))
+    for j, row in enumerate(cent_rows):
+        c = [float(x) for x in row[vec_col]]
+        clit = F.array(*[F.lit(x) for x in c])
+        dcc = 0.0
+        for x in c:
+            dcc += x * x
+        cos_j = _dot(v, clit) / (nv * F.lit(math.sqrt(dcc)))
+        structs.append(F.struct(cos_j.alias("c"), F.lit(j).alias("cid")))
+    best = F.greatest(*structs) if len(structs) > 1 else structs[0]
+    assigned = df.withColumn("cluster", best["cid"])
+    return cosine_topk(assigned.filter(F.col("cluster").isin(probe)),
+                       query_vec, k, vec_col, id_col)
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         dim: int = 64, num_planes: int = 12, seed: int = 7,
                         vec_col: str = "embedding",

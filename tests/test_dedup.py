@@ -82,6 +82,37 @@ def test_simhash_near_dup_small_hamming(spark, docs):
     assert ham_near < ham_far
 
 
+def test_simhash_md5_matches_reference(spark, docs):
+    """simhash64_md5 == a per-doc hashlib reference using DuckDB's
+    md5_number_lower word-hash convention (digest bytes [8:16], LE)."""
+    import hashlib
+
+    import numpy as np
+    from duke_spark.operators.dedup import simhash64_md5
+
+    out = simhash64_md5(docs).toPandas()
+    by_id = dict(zip(out["doc_id"], out["simhash"]))
+    for doc_id, text in DOCS:
+        hs = [int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
+              for w in text.split(" ")]
+        sig = 0
+        for b in range(64):
+            ones = sum((h >> b) & 1 for h in hs)
+            if ones * 2 >= len(hs):
+                sig |= 1 << b
+        assert by_id[doc_id] == np.int64(np.uint64(sig)).item(), doc_id
+
+
+def test_minhash_lsh_md5_pairs(spark, docs):
+    """The md5 LSH variant finds the exact-dup pair and respects a<b."""
+    from duke_spark.operators.dedup import minhash_lsh_pairs_md5
+
+    pairs = minhash_lsh_pairs_md5(docs).toPandas()
+    got = set(map(tuple, pairs[["a", "b"]].itertuples(index=False)))
+    assert (0, 1) in got
+    assert all(a < b for a, b in got)
+
+
 def test_hash64_stable():
     assert hash64("spark") == hash64("spark")
     assert hash64("spark") != hash64("spork")

@@ -102,6 +102,38 @@ def test_ivf_probe_recall(spark, emb, emb_pdf):
     assert len(exact & ivf) / 10 >= 0.4  # partial-probe recall tradeoff
 
 
+def test_cosine_near_dup_pairs_matches_reference(spark, emb, emb_pdf):
+    """Catalyst coord-sign near-dup pairs == a NumPy reference with the
+    same bucket rule (sign of the first num_planes coordinates)."""
+    from duke_spark.operators.similarity import cosine_near_dup_pairs
+
+    out = cosine_near_dup_pairs(emb, threshold=0.9,
+                                num_planes=4).toPandas()
+    got = set(map(tuple, out[["a", "b"]].itertuples(index=False)))
+
+    mat = np.stack(emb_pdf["embedding"].to_list()).astype(np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    buckets = ((mat[:, :4] >= 0) @ (1 << np.arange(4))).astype(int)
+    sims = unit @ unit.T
+    exp = set()
+    for i in range(N):
+        for j in range(i + 1, N):
+            if buckets[i] == buckets[j] and sims[i, j] >= 0.9 - 1e-12:
+                exp.add((i, j))
+    assert got == exp
+    assert (10, 11) in got  # planted pair shares all coordinate signs
+
+
+def test_ivf_md5_full_probe_equals_exact(spark, emb, emb_pdf):
+    from duke_spark.operators.similarity import ivf_cosine_topk_md5
+    q = emb_pdf["embedding"].iloc[0]
+    exact = cosine_topk(emb, q, k=10).toPandas()
+    ivf = ivf_cosine_topk_md5(emb, q, k=10, k_clusters=8,
+                              n_probe=8).toPandas()
+    pd.testing.assert_frame_equal(exact.reset_index(drop=True),
+                                  ivf.reset_index(drop=True))
+
+
 def test_ivf_assignment_deterministic(spark, emb):
     from duke_spark.operators.similarity import ivf_assign, ivf_centroids
     c1 = ivf_centroids(emb, k_clusters=8)
