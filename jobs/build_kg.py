@@ -39,6 +39,15 @@ def main() -> None:
                     help="embedding/ontology scale: mini (D=32, ~30 classes,"
                          " test fixture) or reference (D=1000, 788 classes —"
                          " the reference's wiki2vec/DBpedia dims)")
+    ap.add_argument("--model",
+                    help="real embedding model (word2vec .txt/.vec, .npz,"
+                         " gensim .kv, or <stem>.npy distributable) —"
+                         " distributed to executors via SparkFiles + mmap;"
+                         " overrides --scale's fixture embedding")
+    ap.add_argument("--ontology",
+                    help="class-tree JSON (e.g. from"
+                         " scripts/prepare_ontology.py); with --model this"
+                         " runs the real DBpedia path end to end")
     ap.add_argument("--warmup", action="store_true",
                     help="run the extraction once untimed first (steady-state"
                          " throughput: long-lived executors, as on a cluster)")
@@ -72,13 +81,25 @@ def main() -> None:
     transcripts = transcripts.repartition(args.parallelism * 2).persist()
     n_turns = transcripts.count()
 
-    if args.scale == "reference":
+    raw_tree = None
+    if args.ontology:
+        from duke_spark.sources.ontology import load_dbpedia_tree
+        raw_tree = load_dbpedia_tree(args.ontology)
+    if args.model:
+        from duke_spark.sources.embedding_model import mmap_link_context
+        if raw_tree is None:
+            from duke_spark.fixtures.class_tree import mini_tree
+            raw_tree = mini_tree()
+        ctx_bc = mmap_link_context(
+            spark, args.model, raw_tree,
+            work_dir=os.path.join(args.out, "_model"))
+    elif args.scale == "reference":
         from duke_spark.fixtures.scale import scale_arrays
         vocab, matrix, tree = scale_arrays()
         ctx_bc = make_context(spark, vocab=vocab, matrix=matrix,
-                              raw_tree=tree)
+                              raw_tree=raw_tree or tree)
     else:
-        ctx_bc = make_context(spark)
+        ctx_bc = make_context(spark, raw_tree=raw_tree)
 
     if args.warmup:
         from duke_spark.operators.triples import extract_triples
