@@ -311,6 +311,26 @@ def ivf_ann_topk_docs(spark, sf_dir):
     return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def ann_index_topk_docs(spark, sf_dir):
+    """Persisted partition-pruned ANN (C8 scale path): coordinate-sign
+    LSH index written ``partitionBy(bucket)``; the query probes only the
+    Hamming≤1 buckets, which Spark resolves as PartitionFilters — the
+    unprobed 11/16 of the corpus is never listed or scanned (plan
+    asserted in tests/test_ann_index.py)."""
+    import hashlib
+    from duke_spark.operators.ann_index import (build_lsh_index,
+                                                query_lsh_index)
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    path = ("/tmp/duke_spark_ann_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8])
+    build_lsh_index(emb.filter(F.col("vec_id") != 0), path, dim=dim,
+                    num_planes=4, planes="coord")
+    res = query_lsh_index(spark, path, qvec, k=10, hamming=1)
+    return res.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def lang_counts_docs(spark, sf_dir):
     """Stopword-voting language ID (JVM-side greatest-of-structs), rolled
     up per source. Tie semantics (equal score → lexicographically larger
@@ -461,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_ratio_docs": stopword_ratio_docs,
         "fingerprint_docs": fingerprint_docs,
         "ann_cosine_topk_docs": ann_cosine_topk_docs,
+        "ann_index_topk_docs": ann_index_topk_docs,
         "ivf_ann_topk_docs": ivf_ann_topk_docs,
         "lang_counts_docs": lang_counts_docs,
         "simhash_docs": simhash_docs,
@@ -599,11 +620,13 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs_docs": """
             WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
                            FROM documents),
-            sh AS (SELECT DISTINCT doc_id,
+            sh0 AS (SELECT DISTINCT doc_id,
                           unnest(list_transform(
                               range(1, greatest(len(w) - 1, 2)),
                               i -> array_to_string(w[i:i+2], ' '))) AS s
                    FROM words),
+            rare AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 1000),
+            sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN rare USING (s)),
             sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
             common AS (SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS c
                        FROM sh l JOIN sh r
@@ -736,6 +759,21 @@ def oracle_sql() -> dict[str, str]:
                     ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
             SELECT pa AS a, pb AS b, ROUND(cos_raw, 6) AS cosine
             FROM p WHERE cos_raw >= 0.3
+        """,
+        "ann_index_topk_docs": f"""
+            WITH q AS (SELECT embedding AS qv FROM embeddings
+                       WHERE vec_id = 0),
+            qb AS (SELECT ({_coord_bucket_sql('qv')}) AS b FROM q),
+            probes AS (SELECT DISTINCT xor(b, p) AS pb FROM qb,
+                       (SELECT unnest([0, 1, 2, 4, 8]) AS p)),
+            c AS (SELECT vec_id, embedding,
+                         ({_coord_bucket_sql('embedding')}) AS bucket
+                  FROM embeddings WHERE vec_id <> 0)
+            SELECT vec_id,
+                   ROUND({_COS.format(a='c.embedding', b='q.qv')}, 6)
+                       AS cosine
+            FROM c, q WHERE bucket IN (SELECT pb FROM probes)
+            ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         "ivf_ann_topk_docs": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings

@@ -138,13 +138,28 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity for all pairs above threshold.
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = 1000) -> DataFrame:
+    """n-gram Jaccard similarity for all pairs above threshold.
     explode distinct shingles → self-join on shingle (AQE skew-join covers
-    hot shingles) → |A∩B| / (|A|+|B|−|A∩B|). Use LSH first at scale."""
+    hot shingles) → |A∩B| / (|A|+|B|−|A∩B|). Use LSH first at scale.
+
+    ``max_shingle_df`` is the detonation guard: a stop-shingle ("of the
+    and") appearing in d documents contributes d² join rows, so shingles
+    with document frequency above the cap are dropped from BOTH the
+    intersection and the sizes (Jaccard over non-ubiquitous shingles — a
+    well-defined approximation; ubiquitous shingles carry no near-dup
+    signal anyway). ``None`` disables the cap for exact verification on
+    corpora known to be clean."""
     sh = (with_shingles(df.select(id_col, text_col), text_col, n=n)
           .select(id_col, F.explode(F.array_distinct("shingles"))
                   .alias("shingle")))
+    if max_shingle_df is not None:
+        rare = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df_cnt"))
+                .filter(F.col("df_cnt") <= max_shingle_df)
+                .select("shingle"))
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     l, r = sh.alias("l"), sh.alias("r")
     common = (l.join(r, (F.col("l.shingle") == F.col("r.shingle")) &
@@ -162,17 +177,61 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(node, comp) labels for the undirected graph given as (a, b) pairs:
+    iterative min-label propagation (label(u) ← min over N(u)∪{u}),
+    driver-looped with ``localCheckpoint`` per round to truncate lineage,
+    early-stopped when no label changes.
+
+    A round moves labels one hop, so convergence takes O(diameter)
+    rounds — the right tradeoff for near-dup graphs, whose components are
+    quasi-cliques (diameter ≲ 3) rather than long paths; web-scale
+    general graphs would want large-star/small-star's O(log n) instead.
+    Each round is one shuffle join keyed by node + one hash-agg."""
+    sym = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .union(pairs.select(F.col("b").alias("u"),
+                               F.col("a").alias("v")))
+           .distinct().persist())
+    labels = (sym.select(F.col("u").alias("node")).distinct()
+              .withColumn("comp", F.col("node")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (sym.join(labels.withColumnRenamed("node", "v")
+                            .withColumnRenamed("comp", "vcomp"), "v")
+                   .groupBy("u").agg(F.min("vcomp").alias("nbr_comp")))
+        new_labels = (labels
+                      .join(nbr_min.withColumnRenamed("u", "node"),
+                            "node", "left")
+                      .select("node",
+                              F.least(F.col("comp"),
+                                      F.coalesce("nbr_comp", F.col("comp"))
+                                      ).alias("comp"))
+                      .localCheckpoint())
+        changed = (new_labels.withColumnRenamed("comp", "new_comp")
+                   .join(labels, "node")
+                   .filter(F.col("new_comp") != F.col("comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def near_dup_filter(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", num_hashes: int = 64,
                     bands: int = 16, shingle_len: int = 3,
-                    jaccard_threshold: float = 0.8) -> DataFrame:
+                    jaccard_threshold: float = 0.8,
+                    strategy: str = "greedy") -> DataFrame:
     """Drop near-duplicates: MinHash+LSH candidates, exact-Jaccard
-    verified, then greedy keep-lowest-id (for every verified pair a<b,
-    drop b). Greedy-by-id is the standard corpus-dedup policy — it is
-    deterministic and transitive-safe for true duplicate *clusters*
-    (every member pairs with the cluster's min id at high τ); chains of
-    borderline pairs may keep middle elements, which is accepted practice
-    (full connected components would need an iterative join).
+    verified, then one of two survivor policies:
+
+    * ``greedy`` (default): for every verified pair a<b, drop b.
+      Deterministic and transitive-safe for true duplicate *clusters*
+      (every member pairs with the cluster's min id at high τ); a doc
+      that only pairs as the SMALLER id of its chain survives alongside
+      the chain's true minimum.
+    * ``components``: connected components over the verified pair graph,
+      keep only each component's min id — the chain-correct policy, at
+      the cost of the iterative join in ``connected_components``.
 
     Shuffle shape: signatures are narrow; the LSH band join keys are
     uniform; the final anti-join is a broadcast when the drop set is small
@@ -198,10 +257,18 @@ def near_dup_filter(df: DataFrame, text_col: str = "text",
     a_sh, b_sh = _sh(words_a), _sh(words_b)
     inter = F.size(F.array_intersect(a_sh, b_sh))
     union = F.size(a_sh) + F.size(b_sh) - inter
-    drops = (verified
-             .withColumn("jaccard", inter / union)
-             .filter(F.col("jaccard") >= jaccard_threshold)
-             .select(F.col("b").alias(id_col)).distinct())
+    dup_pairs = (verified
+                 .withColumn("jaccard", inter / union)
+                 .filter(F.col("jaccard") >= jaccard_threshold)
+                 .select("a", "b"))
+    if strategy == "components":
+        comp = connected_components(dup_pairs)
+        drops = (comp.filter(F.col("node") != F.col("comp"))
+                 .select(F.col("node").alias(id_col)))
+    elif strategy == "greedy":
+        drops = dup_pairs.select(F.col("b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"unknown near-dup strategy {strategy!r}")
     return df.join(drops, id_col, "left_anti")
 
 

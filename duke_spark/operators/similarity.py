@@ -252,36 +252,116 @@ def ivf_cosine_topk_md5(df: DataFrame, query_vec: Sequence[float],
                        query_vec, k, vec_col, id_col)
 
 
+def _band_buckets(df: DataFrame, dim: int, num_planes: int, seed: int,
+                  num_bands: int, vec_col: str, id_col: str) -> DataFrame:
+    """One narrow pass assigning every row its bucket in each of
+    ``num_bands`` independent plane sets (band t uses seed+t, so band 0
+    reproduces the single-band assignment exactly). Rows are replicated
+    once per band: (id, vec, band, bucket)."""
+    planes_all = np.concatenate(
+        [np.random.default_rng(seed + t).standard_normal((dim, num_planes))
+         for t in range(num_bands)], axis=1)
+    weights = (1 << np.arange(num_planes, dtype=np.int64))
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType()),
+        T.StructField(vec_col, T.ArrayType(T.FloatType())),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bucket", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_list()).astype(np.float64)
+            signs = (mat @ planes_all) >= 0
+            n = len(pdf)
+            buckets = np.empty((n, num_bands), dtype=np.int32)
+            for t in range(num_bands):
+                block = signs[:, t * num_planes:(t + 1) * num_planes]
+                buckets[:, t] = (block @ weights).astype(np.int32)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), num_bands),
+                vec_col: np.repeat(pdf[vec_col].to_numpy(), num_bands),
+                "band": np.tile(np.arange(num_bands, dtype=np.int32), n),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
 def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
                         dim: int = 64, num_planes: int = 12, seed: int = 7,
-                        vec_col: str = "embedding",
-                        id_col: str = "vec_id") -> DataFrame:
+                        vec_col: str = "embedding", id_col: str = "vec_id",
+                        num_bands: int = 1,
+                        max_bucket: int = 4096) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, candidate-
-    limited to same LSH bucket (pairs split across buckets are missed —
-    the standard LSH recall tradeoff; raise num_planes/probes for recall).
-    Pair cosine computed NumPy-side per bucket group."""
-    bucketed = lsh_bucket_ids(df.select(id_col, vec_col), dim, num_planes,
-                              seed, vec_col)
+    limited to LSH buckets.
+
+    Recall: a pair split across buckets in one plane set is a candidate
+    if it collides in ANY of ``num_bands`` independent plane sets (band-
+    OR, the MinHash-LSH banding trick) — miss probability decays as
+    ``(1 - p^planes)^bands``.
+
+    Scale: a skewed bucket is never one quadratic task. Rows are split
+    into ``ceil(|bucket| / max_bucket)`` hash blocks and every block PAIR
+    becomes its own ``applyInPandas`` group (a row is replicated
+    ``nb`` times), so per-task memory is ≤ 2·max_bucket rows and the
+    O(|bucket|²) pair work spreads over nb² parallel tasks instead of
+    straggling on one. Exhaustive within bucket: capped and uncapped
+    results are identical (pytest-verified)."""
+    bucketed = _band_buckets(df, dim, num_planes, seed, num_bands,
+                             vec_col, id_col)
+    counts = (bucketed.groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    sized = (bucketed.join(F.broadcast(counts), ["band", "bucket"])
+             .withColumn("nb", F.ceil(F.col("cnt") / max_bucket)
+                         .cast("int"))
+             .withColumn("blk", F.pmod(F.xxhash64(F.col(id_col)),
+                                       F.col("nb")).cast("int")))
+    rep = (sized.select(
+        id_col, vec_col, "band", "bucket", "blk",
+        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("j"))
+        .withColumn("lo", F.least("blk", "j"))
+        .withColumn("hi", F.greatest("blk", "j")))
+
     schema = T.StructType([
         T.StructField("a", T.LongType()),
         T.StructField("b", T.LongType()),
         T.StructField("cosine", T.DoubleType()),
     ])
 
-    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame(columns=["a", "b", "cosine"])
+        lo_blk, hi_blk = key[2], key[3]
         ids = pdf[id_col].to_numpy()
         mat = np.stack(pdf[vec_col].to_list()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = mat / norms
-        sims = unit @ unit.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = sims[iu] >= threshold
-        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        if lo_blk == hi_blk:
+            sims = unit @ unit.T
+            iu = np.triu_indices(len(ids), k=1)
+            mask = sims[iu] >= threshold
+            a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+            cos = sims[iu][mask]
+        else:
+            left = pdf["blk"].to_numpy() == lo_blk
+            li, ri = np.flatnonzero(left), np.flatnonzero(~left)
+            if len(li) == 0 or len(ri) == 0:
+                return pd.DataFrame(columns=["a", "b", "cosine"])
+            sims = unit[li] @ unit[ri].T
+            ai, bi = np.nonzero(sims >= threshold)
+            a, b = ids[li[ai]], ids[ri[bi]]
+            cos = sims[ai, bi]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a": lo, "b": hi, "cosine": sims[iu][mask]})
+        return pd.DataFrame({"a": lo, "b": hi, "cosine": cos})
 
-    return bucketed.groupBy("bucket").applyInPandas(
-        lambda pdf: pairs(pdf), schema=schema)
+    raw = rep.groupBy("band", "bucket", "lo", "hi").applyInPandas(
+        pairs, schema=schema)
+    if num_bands == 1:
+        return raw
+    # same pair found in several bands: cosine is a pure function of the
+    # two vectors, so max == the single deterministic value
+    return raw.groupBy("a", "b").agg(F.max("cosine").alias("cosine"))

@@ -129,6 +129,62 @@ def test_near_dup_filter_keeps_lowest_id(spark, docs):
     assert list(out.columns) == ["doc_id", "text"]
 
 
+def test_jaccard_df_cap_identity_on_clean_corpus(spark, docs):
+    """No shingle in the fixture nears the cap → capped == exact."""
+    kw = dict(threshold=0.1)
+    capped = (ngram_jaccard_pairs(docs, max_shingle_df=1000, **kw)
+              .toPandas().sort_values(["a", "b"]).reset_index(drop=True))
+    exact = (ngram_jaccard_pairs(docs, max_shingle_df=None, **kw)
+             .toPandas().sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(capped, exact)
+
+
+def test_jaccard_df_cap_defuses_stop_shingle(spark):
+    """40 docs sharing one ubiquitous shingle: uncapped, every doc pair
+    shares it (O(n²) join rows and spurious low-jaccard pairs); capped,
+    only the planted near-dup pair remains."""
+    rows = [(i, f"of the and u{i}x u{i}y u{i}z u{i}w") for i in range(40)]
+    rows.append((40, "of the and u7x u7y u7z u7q"))  # near-dup of doc 7
+    docs = spark.createDataFrame(pd.DataFrame(rows,
+                                              columns=["doc_id", "text"]))
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.01,
+                                   max_shingle_df=None).toPandas()
+    capped = ngram_jaccard_pairs(docs, threshold=0.01,
+                                 max_shingle_df=10).toPandas()
+    assert len(uncapped) == 41 * 40 // 2      # every pair shares the stop
+    got = set(map(tuple, capped[["a", "b"]].itertuples(index=False)))
+    assert got == {(7, 40)}                   # only real shingle overlap
+
+
+def test_connected_components_labels(spark):
+    from duke_spark.operators.dedup import connected_components
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": [1, 0, 5], "b": [2, 2, 6]}))
+    comp = (connected_components(pairs).toPandas()
+            .set_index("node")["comp"].to_dict())
+    assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
+
+
+def test_near_dup_components_beats_greedy_on_chain(spark):
+    """Chain 0–2–1 (0~2 and 1~2 similar, 0≁1): greedy drops only doc 2
+    (the larger id of both pairs) and keeps chain member 1; connected
+    components keeps just the component minimum 0."""
+    from duke_spark.operators.dedup import near_dup_filter
+    texts = {
+        0: "A B C D E F G H I J",          # jaccard(0,2)=0.8
+        1: "C D E F G H I J K L",          # jaccard(1,2)=0.8, (0,1)=0.6
+        2: "A B C D E F G H I J K L",
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}))
+    greedy = set(near_dup_filter(docs, jaccard_threshold=0.7)
+                 .toPandas()["doc_id"])
+    comp = set(near_dup_filter(docs, jaccard_threshold=0.7,
+                               strategy="components").toPandas()["doc_id"])
+    assert greedy == {0, 1}
+    assert comp == {0}
+
+
 def test_near_dup_filter_threshold_monotone(spark, docs):
     from duke_spark.operators.dedup import near_dup_filter
     strict = near_dup_filter(docs, jaccard_threshold=0.99).count()

@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from duke_spark.operators.similarity import (ann_cosine_topk, cosine_topk,
@@ -100,6 +101,68 @@ def test_ivf_probe_recall(spark, emb, emb_pdf):
     # the query's own cluster is probed → its near-identical twin found
     assert 11 in ivf and 10 in ivf
     assert len(exact & ivf) / 10 >= 0.4  # partial-probe recall tradeoff
+
+
+def test_near_dups_capped_equals_uncapped(spark, emb):
+    """Block-pairing is exhaustive: a tiny max_bucket (forcing many block
+    pairs) yields the identical pair set to effectively-unbounded."""
+    kw = dict(threshold=0.5, dim=DIM, num_planes=2)  # 4 fat buckets
+    unb = embedding_near_dups(emb, max_bucket=100000, **kw).toPandas()
+    cap = embedding_near_dups(emb, max_bucket=13, **kw).toPandas()
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        unb.sort_values(key).reset_index(drop=True),
+        cap.sort_values(key).reset_index(drop=True))
+
+
+def test_near_dups_group_sizes_bounded(spark, emb):
+    """On a skewed bucketing (2 planes → ~N/4 per bucket) no pair task
+    sees more than ~2·max_bucket rows."""
+    from duke_spark.operators.similarity import _band_buckets
+    cap = 13
+    bucketed = _band_buckets(emb, DIM, 2, 7, 1, "embedding", "vec_id")
+    counts = (bucketed.groupBy("band", "bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    sized = (bucketed.join(F.broadcast(counts), ["band", "bucket"])
+             .withColumn("nb", F.ceil(F.col("cnt") / cap).cast("int"))
+             .withColumn("blk", F.pmod(F.xxhash64(F.col("vec_id")),
+                                       F.col("nb")).cast("int")))
+    rep = (sized.select(
+        "vec_id", "band", "bucket", "blk",
+        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("j"))
+        .withColumn("lo", F.least("blk", "j"))
+        .withColumn("hi", F.greatest("blk", "j")))
+    group_sizes = (rep.groupBy("band", "bucket", "lo", "hi").count()
+                   .toPandas()["count"])
+    # hash-split blocks wobble around cnt/nb; 3x the cap bounds the tail
+    assert group_sizes.max() <= 3 * cap
+    assert len(group_sizes) > 4  # the fat buckets really did split
+
+
+def test_near_dups_band_or_improves_recall(spark):
+    """Band-OR multi-probe: pairs whose signs differ in one plane set are
+    recovered by an independent set; recall is monotone in num_bands."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, DIM)).astype(np.float32)
+    noisy = base + rng.standard_normal((40, DIM)).astype(np.float32) * 0.12
+    vecs = np.concatenate([base, noisy])
+    pdf = pd.DataFrame({"vec_id": np.arange(80, dtype=np.int64),
+                        "embedding": [v.tolist() for v in vecs]})
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    df = spark.createDataFrame(pdf, schema=schema)
+    planted = {(i, i + 40) for i in range(40)}
+
+    def recall(bands):
+        got = embedding_near_dups(df, threshold=0.9, dim=DIM,
+                                  num_planes=8, num_bands=bands).toPandas()
+        found = set(map(tuple, got[["a", "b"]].itertuples(index=False)))
+        return len(found & planted) / len(planted)
+
+    r1, r3 = recall(1), recall(3)
+    assert r3 >= r1
+    assert r3 >= 0.9
 
 
 def test_cosine_near_dup_pairs_matches_reference(spark, emb, emb_pdf):
