@@ -140,3 +140,21 @@ def rank_configs(results: DataFrame, top_n: int = 5) -> DataFrame:
                  F.count(F.lit(1)).alias("n_convs"))
             .orderBy(F.desc("mean_gap"), F.asc("config"))
             .limit(top_n))
+
+
+# --- sinks (A7/A8) ---------------------------------------------------------
+
+def write_trials_csv(results: DataFrame, path: str,
+                     single_file: bool = False) -> None:
+    """A7 CSV sink — the trial-results table the reference dumps at
+    ``Duke/evaluate.py:107-108``. Distributed by default; ``single_file``
+    coalesces to one part for the reference's one-file layout (only for
+    driver-inspection-sized results)."""
+    df = results.coalesce(1) if single_file else results
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_ranked_json(ranked: DataFrame, path: str) -> None:
+    """A8 JSON sink — the REST reply analogue
+    (``Duke/DukeRestListener.py:66`` encodes the ranked result as JSON)."""
+    ranked.write.mode("overwrite").json(path)

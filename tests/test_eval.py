@@ -1,4 +1,5 @@
-"""Evaluation harness: labels, config grid, score-gap ranking (EP3)."""
+"""Evaluation harness: labels, config grid, score-gap ranking, sinks
+(EP3), and the A34/A35 set operators."""
 
 import numpy as np
 import pytest
@@ -74,3 +75,43 @@ def test_heuristic_top_words(spark, tiny_transcripts, ctx_bc):
     for _, grp in out.groupby("config"):
         s = grp.sort_values("rank")["score"].to_numpy()
         assert (np.diff(s) <= 1e-12).all()
+
+
+def test_trials_csv_and_ranked_json_sinks(spark, tmp_path):
+    """A7/A8 sinks round-trip through spark.read."""
+    import pandas as pd
+    from duke_spark.eval import write_ranked_json, write_trials_csv
+
+    results = spark.createDataFrame(pd.DataFrame({
+        "config": ["a", "a", "b"],
+        "conv_id": ["c1", "c2", "c1"],
+        "score_gap": [0.5, 0.3, 0.1],
+    }))
+    csv_path = str(tmp_path / "trials_csv")
+    write_trials_csv(results, csv_path, single_file=True)
+    back = (spark.read.option("header", True)
+            .option("inferSchema", True).csv(csv_path).toPandas())
+    assert len(back) == 3 and set(back["config"]) == {"a", "b"}
+
+    json_path = str(tmp_path / "ranked_json")
+    write_ranked_json(rank_configs(results), json_path)
+    ranked = spark.read.json(json_path).toPandas()
+    assert set(ranked["config"]) == {"a", "b"}
+    assert ranked.set_index("config")["mean_gap"]["a"] == \
+        __import__("pytest").approx(0.4)
+
+
+def test_set_operators(spark):
+    """A34 (difference) / A35 (union distinct), driver + DataFrame forms."""
+    import pandas as pd
+    from duke_spark.operators.sets import (df_dropped, df_union_distinct,
+                                           dropped, union_distinct)
+
+    assert dropped([1, 2, 3], [2, 3, 4]) == {1}
+    assert union_distinct([1, 2], [2, 3], (3, 4)) == {1, 2, 3, 4}
+
+    old = spark.createDataFrame(pd.DataFrame({"v": [1, 1, 2, 3]}))
+    new = spark.createDataFrame(pd.DataFrame({"v": [2, 4]}))
+    assert sorted(r["v"] for r in df_dropped(old, new).collect()) == [1, 3]
+    uni = df_union_distinct(old, new)
+    assert sorted(r["v"] for r in uni.collect()) == [1, 2, 3, 4]
