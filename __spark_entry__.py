@@ -750,11 +750,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs_docs": _minhash_lsh_oracle(),
         "embedding_near_dups_docs": f"""
             WITH b AS (SELECT vec_id, embedding,
-                              ({_coord_bucket_sql('embedding')}) AS bucket
+                              ({_coord_bucket_sql('embedding')}) AS bucket,
+                              sqrt(list_dot_product(
+                                  CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[]))) AS nrm
                        FROM embeddings),
             p AS (SELECT l.vec_id AS pa, r.vec_id AS pb,
-                         {_COS.format(a='l.embedding', b='r.embedding')}
-                             AS cos_raw
+                         list_dot_product(CAST(l.embedding AS DOUBLE[]),
+                                          CAST(r.embedding AS DOUBLE[]))
+                             / (l.nrm * r.nrm) AS cos_raw
                   FROM b l JOIN b r
                     ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
             SELECT pa AS a, pb AS b, ROUND(cos_raw, 6) AS cosine

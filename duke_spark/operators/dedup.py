@@ -17,6 +17,12 @@ inside mapInPandas. Shuffle shape notes per operator.
                          LSH for the 100 TB path.
   * simhash64          — 64-bit SimHash from JVM-side xxhash64 word
                          hashes; Hamming bucket join for near-dups.
+  * simhash64_md5 / minhash_lsh_pairs_md5 — md5-hash twins whose output a
+                         plain-SQL oracle reproduces exactly (driver
+                         contract); production paths stay xxhash64.
+  * near_dup_filter    — LSH → inline-Jaccard verify → greedy min-id or
+                         connected-components survivor policy.
+  * connected_components — min-label propagation over a pair list.
 """
 
 from __future__ import annotations

@@ -170,30 +170,63 @@ def coord_sign_bucket(vec_col: str = "embedding", num_planes: int = 4):
     return out
 
 
+def seq_gram_matrix(mat: np.ndarray) -> np.ndarray:
+    """All-pairs dot products with STRICTLY SEQUENTIAL per-pair
+    accumulation order: Σ_d x_d·y_d added in ascending d, exactly the
+    fold order of ``F.aggregate`` / DuckDB ``list_dot_product`` — so each
+    entry is bit-identical to the SQL engines' scalar loop, unlike a BLAS
+    ``mat @ mat.T`` (pairwise/SIMD summation). Vectorized across pairs as
+    D rank-1 updates; O(n²·D) like the BLAS call, just without its
+    blocking."""
+    n = mat.shape[0]
+    acc = np.zeros((n, n), dtype=np.float64)
+    for d in range(mat.shape[1]):
+        col = mat[:, d]
+        acc += col[:, None] * col[None, :]
+    return acc
+
+
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           num_planes: int = 4,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id") -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold within coordinate-sign
     LSH buckets — the oracle-checkable twin of ``embedding_near_dups``.
-    Everything is Catalyst: bucket bits, the bucket-keyed self-join, and a
-    sequential-double cosine (zip_with/aggregate fold — the same
-    evaluation order as DuckDB's list_dot_product, so values match bit
-    for bit). The join shuffles on the bucket key only; candidate volume
-    is Σ bucket², the standard LSH bound."""
+    Bucket bits are Catalyst; the pair kernel runs per bucket group in
+    NumPy using ``seq_gram_matrix``, whose per-pair accumulation order
+    equals the SQL fold — every cosine matches DuckDB bit for bit at
+    NumPy speed (the per-pair Catalyst higher-order-function fold is
+    interpreted and ~5× slower). Shuffle is one bucket-keyed exchange;
+    candidate volume is Σ bucket², the standard LSH bound (use
+    ``embedding_near_dups`` for skew-bounded block pairing at scale)."""
     b = df.select(F.col(id_col), F.col(vec_col),
                   coord_sign_bucket(vec_col, num_planes).alias("bucket"))
-    left, right = b.alias("l"), b.alias("r")
-    lv, rv = F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")
-    cos = _dot(lv, rv) / (F.sqrt(_dot(lv, lv)) * F.sqrt(_dot(rv, rv)))
-    return (left.join(right,
-                      (F.col("l.bucket") == F.col("r.bucket")) &
-                      (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
-            .withColumn("cos_raw", cos)
-            .filter(F.col("cos_raw") >= threshold)
-            .select(F.col(f"l.{id_col}").alias("a"),
-                    F.col(f"r.{id_col}").alias("b"),
-                    F.round("cos_raw", 6).alias("cosine")))
+    schema = T.StructType([
+        T.StructField("a", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=["a", "b", "cosine"])
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
+        gram = seq_gram_matrix(mat)
+        nrm = np.sqrt(np.diag(gram))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = gram / (nrm[:, None] * nrm[None, :])
+        iu = np.triu_indices(len(ids), k=1)
+        vals = sims[iu]
+        mask = vals >= threshold
+        return pd.DataFrame({"a": ids[iu[0][mask]],
+                             "b": ids[iu[1][mask]],
+                             "cosine": vals[mask]})
+
+    raw = b.groupBy("bucket").applyInPandas(pairs, schema=schema)
+    # HALF_UP rounding JVM-side, matching the SQL oracle's ROUND
+    return raw.select("a", "b", F.round("cosine", 6).alias("cosine"))
 
 
 def ivf_cosine_topk_md5(df: DataFrame, query_vec: Sequence[float],

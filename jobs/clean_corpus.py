@@ -31,6 +31,10 @@ def main() -> None:
     ap.add_argument("--parallelism", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--strategy", default="greedy",
+                    choices=["greedy", "components"],
+                    help="near-dup survivor policy: greedy drop-larger-id "
+                         "or connected-components keep-min-per-cluster")
     ap.add_argument("--min-words", type=int, default=5)
     ap.add_argument("--max-stop", type=float, default=0.7)
     ap.add_argument("--langs", default="en,de,fr,es")
@@ -57,7 +61,8 @@ def main() -> None:
     n1 = docs.count()
 
     # 2. near-dup removal (MinHash+LSH candidates, Jaccard-verified)
-    docs = near_dup_filter(docs, jaccard_threshold=args.jaccard)
+    docs = near_dup_filter(docs, jaccard_threshold=args.jaccard,
+                           strategy=args.strategy)
     n2 = docs.count()
 
     # 3. quality filter

@@ -37,6 +37,7 @@ import argparse
 import json
 import multiprocessing as mp
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -83,6 +84,10 @@ def run_level(parallelism: int, input_path: str, out_root: str,
     runs = []
     for i in range(repeat):
         out = os.path.join(out_root, f"p{parallelism}_run{i}")
+        # each run must extract from scratch: a leftover checkpoint would
+        # either skip all parts (timing nothing) or, if written by an
+        # older engine version, be refused by the partition-scheme guard
+        shutil.rmtree(out, ignore_errors=True)
         cmd = [sys.executable, os.path.join(REPO, "jobs", "build_kg.py"),
                "--input", input_path, "--out", out,
                "--parallelism", str(parallelism),
