@@ -59,6 +59,11 @@ def get_spark(app_name: str = "duke_spark",
         .config("spark.sql.maxConcurrentOutputFileWriters", "128")
         .config("spark.driver.memory",
                 os.environ.get("DUKE_SPARK_DRIVER_MEM", "8g"))
+        # bucketed saveAsTable target (plans/bucketing.py) — keep managed
+        # tables out of the repo working dir
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("DUKE_SPARK_WAREHOUSE",
+                               "/tmp/duke_spark_warehouse"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

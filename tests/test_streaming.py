@@ -123,3 +123,54 @@ def test_stateful_running_topics(spark, ctx_bc, stream_dirs,
             conv_id
         assert final.loc[conv_id, "n_mentions"] == \
             batch.loc[conv_id, "n_mentions"]
+
+
+def test_stream_exact_dedup_first_seen(spark, tmp_path):
+    """Streaming dedup: one survivor per distinct (normalized) text, and
+    duplicates arriving in a LATER micro-batch within the watermark are
+    dropped via checkpointed state."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from duke_spark.streaming.dedup_stream import stream_exact_dedup
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "out", "ck")}
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    pdf = pd.DataFrame({
+        "doc_id": pd.array(range(6), dtype="int64"),
+        "text": ["alpha beta", "gamma", "alpha  beta",   # ws-normalized dup
+                 "delta", "gamma", "epsilon"],
+        "ts": pd.Series([base + pd.Timedelta(seconds=i)
+                         for i in range(6)]).astype("datetime64[us]"),
+    })
+    _write_chunk(pdf, dirs["in"] + "/a.parquet")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(dirs["in"])
+        (stream_exact_dedup(stream).writeStream
+         .format("parquet").option("path", dirs["out"])
+         .option("checkpointLocation", dirs["ck"])
+         .trigger(availableNow=True).start().awaitTermination())
+
+    run()
+    out = spark.read.parquet(dirs["out"]).toPandas()
+    norm = out["text"].str.replace(r"\s+", " ", regex=True)
+    assert len(out) == 4 and norm.is_unique
+    assert set(norm) == {"alpha beta", "gamma", "delta", "epsilon"}
+
+    # late-arriving duplicates (inside the watermark) + one new doc
+    late = pd.DataFrame({
+        "doc_id": pd.array([10, 11], dtype="int64"),
+        "text": ["gamma", "zeta"],
+        "ts": pd.Series([base + pd.Timedelta(seconds=7)] * 2)
+        .astype("datetime64[us]"),
+    })
+    _write_chunk(late, dirs["in"] + "/b.parquet")
+    run()
+    out2 = spark.read.parquet(dirs["out"]).toPandas()
+    assert len(out2) == 5                       # only "zeta" added
+    assert 10 not in set(out2["doc_id"])
