@@ -249,8 +249,10 @@ def minhash_sig_docs(spark, sf_dir):
     variant; the full 64-perm MinHash+LSH path is pytest-verified."""
     from duke_spark.operators.dedup import with_shingles
     docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
+    # distinct before explode: MIN is duplicate-invariant, so this only
+    # cuts md5 volume (no oracle change needed)
     sh = with_shingles(docs).select(
-        "doc_id", F.explode("shingles").alias("s"))
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("s"))
     return (sh.groupBy("doc_id")
             .agg(F.min(F.md5(F.col("s").cast("binary"))).alias("sig")))
 

@@ -338,10 +338,13 @@ def simhash64_md5(df: DataFrame, text_col: str = "text",
     oracle can recompute the signature bit for bit. md5 runs JVM-side
     (``unhex(md5(word))`` in whole-stage codegen); Python only reads the
     16-byte digests (no per-word hashing in Python)."""
+    # ship only the digest's last 8 bytes (hex chars 17..32) through
+    # Arrow — md5_number_lower needs nothing else and it halves transfer
     words_df = df.select(
         id_col,
         F.transform(F.split(F.col(text_col), " "),
-                    lambda w: F.unhex(F.md5(w.cast("binary"))))
+                    lambda w: F.unhex(F.substring(F.md5(w.cast("binary")),
+                                                  17, 16)))
         .alias("digests"))
     schema = T.StructType([
         T.StructField(id_col, T.LongType()),
@@ -356,10 +359,10 @@ def simhash64_md5(df: DataFrame, text_col: str = "text",
                 continue
             pdf, lens = pdf[keep], lens[keep]
             exploded = pdf["digests"].explode().to_list()
-            # 16-byte digests → uint64 of bytes [8:16], little-endian
-            # ([1::2] of the LE uint64 view) == DuckDB md5_number_lower
+            # 8-byte tails → uint64 little-endian == DuckDB
+            # md5_number_lower (digest bytes [8:16], LE)
             flat = np.frombuffer(b"".join(exploded),
-                                 dtype="<u8")[1::2].astype(np.uint64)
+                                 dtype="<u8").astype(np.uint64)
             sigs = _majority_vote_sigs(flat, lens)
             yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
                                 "simhash": sigs.view(np.int64)})
