@@ -69,3 +69,57 @@ def test_camel_dash_paren_normalization(spark, ctx_bc, nasty_pdf):
     m = linked_mentions(df, ctx_bc).toPandas()
     row = m[(m["conv_id"] == "c1") & (m["turn_idx"] == 2)]
     assert row["mention"].tolist() == ["bird"]
+
+
+def test_md5_hash_convention_unicode_cross_engine(spark):
+    """The Spark md5 word-hash paths (simhash_md5) must agree with
+    DuckDB's md5_number_lower on non-ASCII text — both hash UTF-8 bytes,
+    and the digest-tail/endianness convention must line up exactly."""
+    import duckdb
+    import hashlib
+    from duke_spark.operators.dedup import simhash64_md5
+
+    texts = ["héllo wörld", "naïve café", "日本語 テキスト", "emoji 🚀 text",
+             "", "mixed ascii ünd ümlaut"]
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array(range(len(texts)), dtype="int64"),
+        "text": texts}))
+    got = dict(zip(*(lambda d: (d["doc_id"], d["simhash"]))(
+        simhash64_md5(docs).toPandas())))
+
+    con = duckdb.connect()
+    for i, text in enumerate(texts):
+        words = text.split(" ")
+        # DuckDB's own md5_number_lower per word
+        duck = [con.sql("SELECT md5_number_lower(?)", params=[w])
+                .fetchone()[0] for w in words]
+        ours = [int.from_bytes(hashlib.md5(w.encode()).digest()[8:],
+                               "little") for w in words]
+        assert duck == ours, text
+        sig = 0
+        for b in range(64):
+            if sum((h >> b) & 1 for h in ours) * 2 >= len(ours):
+                sig |= 1 << b
+        assert got[i] == np.int64(np.uint64(sig)).item(), text
+
+
+def test_near_dup_pair_ops_on_empty_and_single(spark):
+    """Pair generators must return empty (not crash) on degenerate
+    inputs: empty table, single row, all-identical bucket."""
+    from pyspark.sql import types as T
+    from duke_spark.operators.similarity import (cosine_near_dup_pairs,
+                                                 embedding_near_dups)
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType()))])
+    empty = spark.createDataFrame([], schema)
+    assert cosine_near_dup_pairs(empty, num_planes=2).count() == 0
+    assert embedding_near_dups(empty, dim=4, num_planes=2).count() == 0
+    one = spark.createDataFrame([(0, [1.0, 0.0, 0.0, 0.0])], schema)
+    assert cosine_near_dup_pairs(one, num_planes=2).count() == 0
+    same = spark.createDataFrame(
+        [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(5)], schema)
+    # 10 identical pairs, cosine exactly 1.0
+    out = cosine_near_dup_pairs(same, threshold=0.99,
+                                num_planes=2).toPandas()
+    assert len(out) == 10 and (out["cosine"] == 1.0).all()
