@@ -373,6 +373,40 @@ def embedding_near_dups_docs(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.3, num_planes=4)
 
 
+_MIX_RATES = {f"src{i}": [1.0, 0.5, 0.25, 0.1, 0.0][i % 5]
+              for i in range(20)}
+
+_BENCHMARK_TEXTS = [
+    "key agg row scan slow fast table value",   # overlaps corpus prefixes
+    "the quick brown fox jumps over the lazy dog",
+]
+
+
+def unigram_logloss_docs(spark, sf_dir):
+    """Corpus-unigram quality proxy per doc (training-data scoring)."""
+    from duke_spark.operators.text_analysis import unigram_logloss
+    return unigram_logloss(_t(spark, sf_dir, "documents"))
+
+
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic domain-mixing sample: per-source keep rates decided
+    by md5(salt:doc_id) < threshold — a pure narrow filter, reproducible
+    at any parallelism (unlike df.sample); rolled up per source."""
+    from duke_spark.operators.sampling import stratified_sample
+    kept = stratified_sample(_t(spark, sf_dir, "documents"), _MIX_RATES)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
+def contamination_docs(spark, sf_dir):
+    """Benchmark n-gram contamination flags for every document."""
+    from duke_spark.operators.contamination import contamination_flags
+    return contamination_flags(_t(spark, sf_dir, "documents"),
+                               _BENCHMARK_TEXTS)
+
+
 def _docs_as_media(spark, sf_dir):
     """Deterministic binary media column derived from doc_id (images for
     doc_id%3!=0, audio otherwise) — the multimodal test substrate."""
@@ -489,6 +523,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "embedding_near_dups_docs": embedding_near_dups_docs,
+        "unigram_logloss_docs": unigram_logloss_docs,
+        "stratified_sample_docs": stratified_sample_docs,
+        "contamination_docs": contamination_docs,
         "media_meta_docs": media_meta_docs,
         "kg_triples_docs": kg_triples_docs,
         "kg_vertices": kg_vertices,
@@ -537,6 +574,55 @@ _COS = ("list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) / "
         "CAST({a} AS DOUBLE[]))) * "
         "sqrt(list_dot_product(CAST({b} AS DOUBLE[]), "
         "CAST({b} AS DOUBLE[]))))")
+
+
+_SHINGLE_EXPR = ("list_transform(range(1, greatest(len({w}) - 1, 2)), "
+                 "i -> array_to_string({w}[i:i+2], ' '))")
+
+
+def _stratified_sample_oracle() -> str:
+    """DuckDB twin of operators.sampling.stratified_sample over
+    _MIX_RATES (same md5 hash, same 32-hex threshold literals)."""
+    from duke_spark.operators.sampling import md5_threshold
+    arms = []
+    for src, frac in sorted(_MIX_RATES.items()):
+        if frac >= 1.0:
+            arms.append(f"WHEN '{src}' THEN TRUE")
+        elif frac <= 0.0:
+            arms.append(f"WHEN '{src}' THEN FALSE")
+        else:
+            arms.append(f"WHEN '{src}' THEN md5('sample:' || "
+                        f"CAST(doc_id AS VARCHAR)) < "
+                        f"'{md5_threshold(frac)}'")
+    case = "CASE source " + " ".join(arms) + " ELSE FALSE END"
+    return f"""
+            SELECT source, COUNT(*) AS n_kept,
+                   MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+            FROM documents WHERE {case}
+            GROUP BY source
+        """
+
+
+def _contamination_oracle() -> str:
+    vals = ", ".join(f"('{t}')" for t in _BENCHMARK_TEXTS)
+    return f"""
+            WITH bench(t) AS (VALUES {vals}),
+            bw AS (SELECT string_split(t, ' ') AS w FROM bench),
+            bs AS (SELECT DISTINCT
+                          unnest({_SHINGLE_EXPR.format(w='w')}) AS s
+                   FROM bw),
+            words AS (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents),
+            ds AS (SELECT DISTINCT doc_id,
+                          unnest({_SHINGLE_EXPR.format(w='w')}) AS s
+                   FROM words),
+            ov AS (SELECT doc_id, COUNT(*) AS n_overlap
+                   FROM ds JOIN bs USING (s) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(ov.n_overlap, 0) AS n_overlap,
+                   COALESCE(ov.n_overlap, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -708,6 +794,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs
             FROM scored GROUP BY source, lang_pred
         """,
+        "unigram_logloss_docs": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))
+                              AS word FROM documents),
+            wf AS (SELECT doc_id, word FROM w WHERE word <> ''),
+            freq AS (SELECT word, COUNT(*) AS cnt FROM wf GROUP BY word),
+            tot AS (SELECT SUM(cnt) AS total FROM freq)
+            SELECT doc_id,
+                   ROUND(AVG(-ln(cnt * 1.0 / total)), 6) AS logloss,
+                   COUNT(*) AS n_words
+            FROM wf JOIN freq USING (word) CROSS JOIN tot
+            GROUP BY doc_id
+        """,
+        "stratified_sample_docs": _stratified_sample_oracle(),
+        "contamination_docs": _contamination_oracle(),
         # media_meta_docs: the oracle re-derives sizes/dims from the same
         # doc_id arithmetic the media generator uses; the Spark side must
         # round-trip them through real blob encode → header parse.

@@ -94,3 +94,25 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace-normalized text) — the cheap exact-dup key."""
     normalized = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     return df.withColumn("fingerprint", F.xxhash64(normalized))
+
+
+def unigram_logloss(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Per-doc mean negative log corpus-unigram probability — the classic
+    cheap quality proxy (high = rare-word soup / garbled text, low =
+    in-distribution). Pure Catalyst: one vocab-bounded hash aggregate for
+    the frequency table, its grand total cross-joined back lazily (no
+    driver action), then a word→freq join (broadcast when the vocab is
+    small; AQE decides) and a per-doc aggregate. Cross-engine float
+    policy: ``cnt·1.0/total`` then ``-ln``, averaged and rounded to 6dp
+    on both sides."""
+    words = (df.select(id_col, F.explode(F.split(F.col(text_col), " "))
+                       .alias("w"))
+             .filter(F.col("w") != ""))
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    joined = words.join(freq, "w").crossJoin(F.broadcast(total))
+    p = F.col("cnt").cast("double") / F.col("total")
+    return (joined.groupBy(id_col)
+            .agg(F.round(F.avg(-F.log(p)), 6).alias("logloss"),
+                 F.count(F.lit(1)).alias("n_words")))
