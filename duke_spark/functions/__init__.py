@@ -57,3 +57,16 @@ def cosine_to(vec_col: str | Column, query: Sequence[float]) -> Column:
     dot = vector_dot(c, qlit)
     norm = F.sqrt(vector_dot(c, c))
     return dot / (norm * F.lit(qn))
+
+
+def content_key(col: str | Column = "text") -> Column:
+    """md5 fingerprint of whitespace-normalized text — the dedup key
+    shared by fingerprint_docs and streaming exact-dedup."""
+    return F.md5(normalized_text(col).cast("binary"))
+
+
+# deterministic sampling + bucketing re-exports (operator-level docs there)
+from duke_spark.operators.sampling import (  # noqa: E402,F401
+    md5_threshold, sample_hash)
+from duke_spark.operators.similarity import (  # noqa: E402,F401
+    coord_sign_bucket)

@@ -71,3 +71,77 @@ def build_vertices(mentions: DataFrame, canonical: DataFrame) -> DataFrame:
                      F.lit(None).cast("double").alias("score")))
 
     return ents.unionByName(convs).unionByName(tools)
+
+
+# --- graph analytics over the materialized KG ------------------------------
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(id, out_deg, in_deg, degree) per vertex — two hash aggregates
+    merged with a full outer join (every id that appears anywhere)."""
+    out_d = edges.groupBy(F.col("src").alias("id")) \
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+    in_d = edges.groupBy(F.col("dst").alias("id")) \
+        .agg(F.count(F.lit(1)).alias("in_deg"))
+    return (out_d.join(in_d, "id", "full_outer")
+            .select("id",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"))
+            .withColumn("degree", F.col("out_deg") + F.col("in_deg")))
+
+
+def two_hop_neighbors(edges: DataFrame, max_paths_per_mid: int = 10000
+                      ) -> DataFrame:
+    """Distinct (a, c) pairs connected via some b (a→b→c, a ≠ c) with the
+    path count — the basic motif query. One self-join keyed on the
+    middle vertex; ``max_paths_per_mid`` caps the fan-out the same way
+    the shingle df-cap does (a hub vertex of degree d contributes d²
+    paths, so hubs above the cap are excluded rather than detonating the
+    join — standard practice for web-scale motif counting)."""
+    deg = (edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d_in"))
+           .filter(F.col("d_in") <= max_paths_per_mid)
+           .select(F.col("dst").alias("mid")))
+    left = (edges.join(deg, edges.dst == deg.mid)
+            .select(F.col("src").alias("a"), F.col("dst").alias("b")))
+    right = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    return (left.join(right, "b")
+            .filter(F.col("a") != F.col("c"))
+            .groupBy("a", "c")
+            .agg(F.count(F.lit(1)).alias("n_paths")))
+
+
+def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
+             weight_col: str | None = None) -> DataFrame:
+    """(id, rank) by power iteration — the standard iterative-join shape
+    (contributions = rank/out_deg shuffled to dst, damped sum, repeat),
+    with ``localCheckpoint`` per round to truncate lineage like
+    ``dedup.connected_components``. Dangling mass is redistributed
+    uniformly so ranks sum to the vertex count at every step."""
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    out_w = (edges.groupBy("src").agg(F.sum(w).alias("out_w")))
+    norm = (edges.select("src", "dst", w.alias("w"))
+            .join(out_w, "src")
+            .select("src", "dst", (F.col("w") / F.col("out_w"))
+                    .alias("frac")).persist())
+    verts = (edges.select(F.col("src").alias("id"))
+             .union(edges.select(F.col("dst").alias("id")))
+             .distinct().persist())
+    n = verts.count()
+    ranks = verts.withColumn("rank", F.lit(1.0)).localCheckpoint()
+    for _ in range(iters):
+        contribs = (norm.join(ranks.withColumnRenamed("id", "src"), "src")
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum(F.col("frac") * F.col("rank"))
+                         .alias("contrib")))
+        total_ranked = ranks.join(out_w.withColumnRenamed("src", "id"),
+                                  "id", "left_semi") \
+            .agg(F.sum("rank")).collect()[0][0] or 0.0
+        dangling = (n - total_ranked) / n
+        ranks = (verts.join(contribs, "id", "left")
+                 .select("id",
+                         (F.lit(1.0 - damping) + F.lit(damping) *
+                          (F.coalesce("contrib", F.lit(0.0)) +
+                           F.lit(dangling))).alias("rank"))
+                 .localCheckpoint())
+    norm.unpersist()
+    verts.unpersist()
+    return ranks
