@@ -190,3 +190,40 @@ def test_near_dup_filter_threshold_monotone(spark, docs):
     strict = near_dup_filter(docs, jaccard_threshold=0.99).count()
     loose = near_dup_filter(docs, jaccard_threshold=0.3).count()
     assert loose <= strict  # lower threshold drops at least as many
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """200 random edges over 120 nodes: component partition must equal a
+    union-find reference, with min-id labels."""
+    import numpy as np
+    from duke_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 120, 200)
+    b = rng.integers(0, 120, 200)
+    keep = a != b
+    pairs = pd.DataFrame({"a": a[keep], "b": b[keep]})
+
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in pairs.itertuples(index=False):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    touched = set(pairs["a"]) | set(pairs["b"])
+    exp = {v: find(v) for v in sorted(touched)}
+    # normalize to min-id per component
+    comp_min = {}
+    for v, r in exp.items():
+        comp_min.setdefault(r, v)
+    exp = {v: comp_min[r] for v, r in exp.items()}
+
+    got = (connected_components(spark.createDataFrame(pairs))
+           .toPandas().set_index("node")["comp"].to_dict())
+    assert got == exp
