@@ -238,6 +238,22 @@ def q10_region_rollup(spark, sf_dir):
                   F.count(F.lit(1))).alias("avg_bal")))
 
 
+def session_stats_events(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) of the events table +
+    per-session rollup — one window exchange keyed by user_id, exact
+    integer-microsecond gap math on both engines."""
+    from duke_spark.operators.sessions import session_stats
+    ev = _t(spark, sf_dir, "events")
+    s = session_stats(ev, key_col="user_id", ts_col="ts",
+                      gap_seconds=1800)
+    return s.select("user_id", "session_idx", "n_events",
+                    F.unix_micros(F.col("session_start").cast("timestamp"))
+                    .alias("start_us"),
+                    F.unix_micros(F.col("session_end").cast("timestamp"))
+                    .alias("end_us"),
+                    "span_us")
+
+
 def dedup_exact_docs(spark, sf_dir):
     from duke_spark.operators.dedup import exact_dedup
     return (exact_dedup(_t(spark, sf_dir, "documents"))
@@ -510,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_derived_rollup": q8_derived_rollup,
         "q9_sample_cap": q9_sample_cap,
         "q10_region_rollup": q10_region_rollup,
+        "session_stats_events": session_stats_events,
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_sig_docs": minhash_sig_docs,
         "jaccard_pairs_docs": jaccard_pairs_docs,
@@ -690,6 +707,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "session_stats_events": """
+            WITH b AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+                          WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800000000 THEN 1
+                          ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT user_id, us,
+                         CAST(SUM(brk) OVER (PARTITION BY user_id
+                              ORDER BY us ROWS UNBOUNDED PRECEDING)
+                              AS INT) AS session_idx
+                  FROM b)
+            SELECT user_id, session_idx, COUNT(*) AS n_events,
+                   MIN(us) AS start_us, MAX(us) AS end_us,
+                   MAX(us) - MIN(us) AS span_us
+            FROM s GROUP BY user_id, session_idx
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
