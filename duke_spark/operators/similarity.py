@@ -364,7 +364,9 @@ def embedding_near_dups(df: DataFrame, threshold: float = 0.95,
         T.StructField("cosine", T.DoubleType()),
     ])
 
-    def pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def pairs(key, pdf):
+        # untyped on purpose: PySpark's hint inference can't type the
+        # (key, pdf) grouped-map form and warns on partial annotations
         if len(pdf) < 2:
             return pd.DataFrame(columns=["a", "b", "cosine"])
         lo_blk, hi_blk = key[2], key[3]
