@@ -174,3 +174,50 @@ def test_stream_exact_dedup_first_seen(spark, tmp_path):
     out2 = spark.read.parquet(dirs["out"]).toPandas()
     assert len(out2) == 5                       # only "zeta" added
     assert 10 not in set(out2["doc_id"])
+
+
+def test_stream_near_dup_filter_across_batches(spark, tmp_path):
+    """Incremental MinHash-LSH: a later micro-batch's near-duplicate of
+    an earlier batch's document is dropped via the persisted band state;
+    fresh documents keep flowing."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from duke_spark.streaming.neardup_stream import StreamingNearDupFilter
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "out", "state", "ck")}
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    proc = StreamingNearDupFilter(dirs["out"], dirs["state"],
+                                  jaccard_threshold=0.7)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(dirs["in"])
+        (stream.writeStream.foreachBatch(proc.process)
+         .option("checkpointLocation", dirs["ck"])
+         .trigger(availableNow=True).start().awaitTermination())
+
+    a = pd.DataFrame({
+        "doc_id": pd.array([0, 1, 2], dtype="int64"),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "the quick brown fox jumps over the lazy dog today",
+                 "completely different content about spark engines"],
+    })
+    _write_chunk(a, dirs["in"] + "/a.parquet")
+    run()
+    first = set(spark.read.parquet(dirs["out"]).toPandas()["doc_id"])
+    assert 0 in first and 2 in first
+    assert 1 not in first              # within-batch near-dup dropped
+
+    b = pd.DataFrame({
+        "doc_id": pd.array([10, 11], dtype="int64"),
+        "text": ["the quick brown fox jumps over the lazy dog",  # cross-batch dup
+                 "a brand new sentence with fresh words entirely"],
+    })
+    _write_chunk(b, dirs["in"] + "/b.parquet")
+    run()
+    final = set(spark.read.parquet(dirs["out"]).toPandas()["doc_id"])
+    assert 10 not in final             # collided with batch A's bands
+    assert 11 in final
+    assert final == first | {11}
