@@ -73,6 +73,32 @@ class StreamingNearDupFilter:
         self.num_hashes, self.bands = num_hashes, bands
         self.jaccard_threshold = jaccard_threshold
 
+    def compact(self, spark: SparkSession) -> int:
+        """Rebuild the band table from the surviving corpus (the TTL /
+        compaction policy): recompute signatures over the CURRENT output
+        (post any downstream pruning the user did), write a fresh state
+        dir atomically via rename. Returns the new band count. Run this
+        offline, between streaming runs — not inside foreachBatch."""
+        import shutil
+
+        survivors = spark.read.parquet(self.out_dir) \
+            .dropDuplicates([self.id_col])
+        sigs = minhash_signatures(survivors, self.text_col, self.id_col,
+                                  self.num_hashes)
+        fresh = _bands(sigs, self.bands, self.id_col) \
+            .select("band_idx", "band_hash")
+        tmp = self.state_dir.rstrip("/") + ".compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        fresh.write.mode("overwrite").partitionBy("band_idx").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        old = self.state_dir.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.state_dir):
+            os.replace(self.state_dir, old)
+        os.replace(tmp, self.state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return n
+
     def _stored_bands(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.isdir(self.state_dir):
             return None

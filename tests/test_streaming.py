@@ -221,3 +221,47 @@ def test_stream_near_dup_filter_across_batches(spark, tmp_path):
     assert 10 not in final             # collided with batch A's bands
     assert 11 in final
     assert final == first | {11}
+
+
+def test_near_dup_state_compaction(spark, tmp_path):
+    """compact() rebuilds the band table from the surviving corpus and
+    admission behaves identically afterwards."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from duke_spark.streaming.neardup_stream import StreamingNearDupFilter
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "out", "state", "ck")}
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    proc = StreamingNearDupFilter(dirs["out"], dirs["state"],
+                                  jaccard_threshold=0.7)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(dirs["in"])
+        (stream.writeStream.foreachBatch(proc.process)
+         .option("checkpointLocation", dirs["ck"])
+         .trigger(availableNow=True).start().awaitTermination())
+
+    a = pd.DataFrame({
+        "doc_id": pd.array([0, 1], dtype="int64"),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "something else entirely about streaming state"],
+    })
+    _write_chunk(a, dirs["in"] + "/a.parquet")
+    run()
+    n_before = spark.read.parquet(dirs["state"]).count()
+    n_after = proc.compact(spark)
+    assert n_after == n_before == 2 * 16   # 2 survivors × 16 bands
+
+    # post-compaction admission still drops a near-dup of history
+    b = pd.DataFrame({
+        "doc_id": pd.array([5, 6], dtype="int64"),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "genuinely novel words appear in this row"],
+    })
+    _write_chunk(b, dirs["in"] + "/b.parquet")
+    run()
+    final = set(spark.read.parquet(dirs["out"]).toPandas()["doc_id"])
+    assert final == {0, 1, 6}
