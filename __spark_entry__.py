@@ -398,6 +398,15 @@ _BENCHMARK_TEXTS = [
 ]
 
 
+def length_percentiles_docs(spark, sf_dir):
+    """Per-source word-length quantiles, exact mode (Spark percentile
+    interpolation == DuckDB quantile_cont bit for bit); the
+    approx_percentile sketch variant is the 100 TB path, pytest-bounded
+    against this one."""
+    from duke_spark.operators.text_analysis import length_percentiles
+    return length_percentiles(_t(spark, sf_dir, "documents"), exact=True)
+
+
 def unigram_logloss_docs(spark, sf_dir):
     """Corpus-unigram quality proxy per doc (training-data scoring)."""
     from duke_spark.operators.text_analysis import unigram_logloss
@@ -540,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "embedding_near_dups_docs": embedding_near_dups_docs,
+        "length_percentiles_docs": length_percentiles_docs,
         "unigram_logloss_docs": unigram_logloss_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "contamination_docs": contamination_docs,
@@ -829,6 +839,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'und' END AS lang_pred,
                    COUNT(*) AS n_docs
             FROM scored GROUP BY source, lang_pred
+        """,
+        "length_percentiles_docs": """
+            SELECT source, COUNT(*) AS n_docs,
+                   quantile_cont(CAST(len(string_split(text, ' '))
+                                      AS DOUBLE), 0.5) AS p5,
+                   quantile_cont(CAST(len(string_split(text, ' '))
+                                      AS DOUBLE), 0.9) AS p9,
+                   quantile_cont(CAST(len(string_split(text, ' '))
+                                      AS DOUBLE), 0.99) AS p99
+            FROM documents GROUP BY source
         """,
         "unigram_logloss_docs": """
             WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))

@@ -116,3 +116,23 @@ def unigram_logloss(df: DataFrame, text_col: str = "text",
     return (joined.groupBy(id_col)
             .agg(F.round(F.avg(-F.log(p)), 6).alias("logloss"),
                  F.count(F.lit(1)).alias("n_words")))
+
+
+def length_percentiles(df: DataFrame, probs=(0.5, 0.9, 0.99),
+                       text_col: str = "text", group_col: str = "source",
+                       exact: bool = False,
+                       accuracy: int = 10000) -> DataFrame:
+    """Per-group word-length quantiles — the corpus length-profile stats
+    every data pipeline reports. ``exact=False`` (default) uses
+    ``approx_percentile`` (Greenwald-Khanna sketch: one pass, bounded
+    memory, mergeable partials — the 100 TB path); ``exact=True`` uses
+    ``percentile``, whose linear interpolation matches DuckDB
+    ``quantile_cont`` bit for bit (the oracle path). Both are a single
+    partial+final hash aggregate."""
+    n_words = F.size(F.split(F.col(text_col), " ")).cast("double")
+    fn = F.percentile if exact else (
+        lambda c, p: F.approx_percentile(c, p, F.lit(accuracy)))
+    aggs = [fn(n_words, F.lit(float(p)))
+            .alias(f"p{str(p).replace('0.', '')}") for p in probs]
+    return (df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"), *aggs))

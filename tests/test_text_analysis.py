@@ -54,3 +54,26 @@ def test_doc_fingerprint_whitespace_invariant(spark, docs):
     fp9 = doc_fingerprint(extra).toPandas()["fingerprint"].iloc[0]
     assert fp9 == out.loc[0, "fingerprint"]
     assert out["fingerprint"].nunique() == len(out)
+
+
+def test_length_percentiles_exact_and_approx(spark):
+    import numpy as np
+    import pandas as pd
+    from duke_spark.operators.text_analysis import length_percentiles
+
+    rng = np.random.default_rng(4)
+    lengths = rng.integers(1, 200, 400)
+    docs = spark.createDataFrame(pd.DataFrame({
+        "source": ["s0"] * 400,
+        "text": [" ".join(["w"] * int(n)) for n in lengths]}))
+    exact = (length_percentiles(docs, exact=True).toPandas().iloc[0])
+    # exact mode == numpy linear interpolation
+    for p, col in [(0.5, "p5"), (0.9, "p9"), (0.99, "p99")]:
+        assert exact[col] == pytest.approx(
+            np.quantile(lengths.astype(float), p), abs=1e-9)
+    # the sketch lands within rank-accuracy of exact
+    approx = (length_percentiles(docs, exact=False, accuracy=10000)
+              .toPandas().iloc[0])
+    for col in ("p5", "p9", "p99"):
+        assert abs(approx[col] - exact[col]) <= \
+            np.ptp(lengths) * 0.05 + 2
