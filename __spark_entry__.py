@@ -389,6 +389,29 @@ def embedding_near_dups_docs(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.3, num_planes=4)
 
 
+def q11_rollup_sets(spark, sf_dir):
+    """Grouping sets (ROLLUP) — subtotal rows per flag and a grand
+    total, one pass (Expand + hash aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg((F.sum(_cents("l_quantity")) / 100.0).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q12_anti_join(spark, sf_dir):
+    """Anti join: customers with no order above 300k (NOT EXISTS),
+    rolled up per market segment. Compiles to a broadcast/shuffled anti
+    join — no subquery re-scan per row."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") > 300000)
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return (c.join(o, "c_custkey", "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_no_orders"),
+                 (F.sum(_cents("c_acctbal")) / 100.0).alias("sum_bal")))
+
+
 _MIX_RATES = {f"src{i}": [1.0, 0.5, 0.25, 0.1, 0.0][i % 5]
               for i in range(20)}
 
@@ -535,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_derived_rollup": q8_derived_rollup,
         "q9_sample_cap": q9_sample_cap,
         "q10_region_rollup": q10_region_rollup,
+        "q11_rollup_sets": q11_rollup_sets,
+        "q12_anti_join": q12_anti_join,
         "session_stats_events": session_stats_events,
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_sig_docs": minhash_sig_docs,
@@ -736,6 +761,23 @@ def oracle_sql() -> dict[str, str]:
                    MIN(us) AS start_us, MAX(us) AS end_us,
                    MAX(us) - MIN(us) AS span_us
             FROM s GROUP BY user_id, session_idx
+        """,
+        "q11_rollup_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0
+                       AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q12_anti_join": """
+            SELECT c_mktsegment, COUNT(*) AS n_no_orders,
+                   SUM(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0
+                       AS sum_bal
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000)
+            GROUP BY c_mktsegment
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
