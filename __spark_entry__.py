@@ -421,6 +421,18 @@ _BENCHMARK_TEXTS = [
 ]
 
 
+def clean_text_docs(spark, sf_dir):
+    """Unicode NFC + control-char/whitespace cleaning, fingerprinted —
+    oracle reproduces the cleaned text byte for byte via nfc_normalize +
+    the same ASCII-class regexes."""
+    from duke_spark.operators.text_analysis import normalize_clean
+    d = normalize_clean(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_fp"),
+        F.length("clean_text").alias("n_chars_clean"))
+
+
 def length_percentiles_docs(spark, sf_dir):
     """Per-source word-length quantiles, exact mode (Spark percentile
     interpolation == DuckDB quantile_cont bit for bit); the
@@ -574,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "embedding_near_dups_docs": embedding_near_dups_docs,
+        "clean_text_docs": clean_text_docs,
         "length_percentiles_docs": length_percentiles_docs,
         "unigram_logloss_docs": unigram_logloss_docs,
         "stratified_sample_docs": stratified_sample_docs,
@@ -881,6 +894,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'und' END AS lang_pred,
                    COUNT(*) AS n_docs
             FROM scored GROUP BY source, lang_pred
+        """,
+        "clean_text_docs": r"""
+            WITH c AS (SELECT doc_id,
+                              trim(regexp_replace(regexp_replace(
+                                  nfc_normalize(COALESCE(text, '')),
+                                  '[\x00-\x1f\x7f]', ' ', 'g'),
+                                  '[ \t\n\r\f]+', ' ', 'g'), ' ')
+                                  AS clean_text
+                       FROM documents)
+            SELECT doc_id, md5(clean_text) AS clean_fp,
+                   length(clean_text) AS n_chars_clean
+            FROM c
         """,
         "length_percentiles_docs": """
             SELECT source, COUNT(*) AS n_docs,

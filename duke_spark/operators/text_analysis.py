@@ -5,8 +5,11 @@ hot path. Each returns a DataFrame suitable for a driver-contract oracle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Minimal per-language stopword sets for the n-gram/stopword language
 # heuristic (public common-word lists).
@@ -136,3 +139,34 @@ def length_percentiles(df: DataFrame, probs=(0.5, 0.9, 0.99),
             .alias(f"p{str(p).replace('0.', '')}") for p in probs]
     return (df.groupBy(group_col)
             .agg(F.count(F.lit(1)).alias("n_docs"), *aggs))
+
+
+def normalize_clean(df: DataFrame, text_col: str = "text",
+                    out_col: str = "clean_text") -> DataFrame:
+    """Unicode-sane text cleaning — the first stage of every corpus
+    pipeline: NFC normalization (composed forms, so visually-identical
+    strings dedup/hash identically), control characters → space, ASCII
+    whitespace runs collapsed, edges trimmed. NFC needs ICU-class tables
+    (no Catalyst builtin), so the kernel is a vectorized pandas pass
+    (``Series.str.normalize`` — not per-row Python); the regex steps use
+    the explicit ASCII class ``[ \\t\\n\\r\\f]`` rather than ``\\s`` so
+    Python's unicode-aware ``\\s`` and RE2's ASCII ``\\s`` can't
+    disagree (DuckDB ``nfc_normalize`` + the same regexes reproduce the
+    output byte for byte)."""
+    from typing import Iterator as _It
+
+    out_fields = df.schema.fields + [T.StructField(out_col, T.StringType())]
+    schema = T.StructType(out_fields)
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        for pdf in batches:
+            s = pdf[text_col].fillna("").str.normalize("NFC")
+            s = s.str.replace(r"[\x00-\x1f\x7f]", " ", regex=True)
+            s = s.str.replace(r"[ \t\n\r\f]+", " ", regex=True)
+            s = s.str.strip(" ")
+            pdf = pdf[cols].copy()
+            pdf[out_col] = s
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

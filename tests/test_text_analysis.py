@@ -77,3 +77,22 @@ def test_length_percentiles_exact_and_approx(spark):
     for col in ("p5", "p9", "p99"):
         assert abs(approx[col] - exact[col]) <= \
             np.ptp(lengths) * 0.05 + 2
+
+
+def test_normalize_clean_unicode(spark):
+    import pandas as pd
+    from duke_spark.operators.text_analysis import normalize_clean
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array(range(4), dtype="int64"),
+        "text": ["café  double  spaced",     # decomposed é
+                 "tabs\tand\ncontrol\x01chars\x7f here",
+                 "  edges  ",
+                 None],
+    }))
+    out = (normalize_clean(docs).toPandas()
+           .set_index("doc_id")["clean_text"].sort_index())
+    assert out[0] == "café double spaced"     # composed NFC é
+    assert out[1] == "tabs and control chars here"
+    assert out[2] == "edges"
+    assert out[3] == ""
