@@ -389,6 +389,17 @@ def embedding_near_dups_docs(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.3, num_planes=4)
 
 
+def q13_distinct_agg(spark, sf_dir):
+    """Distinct aggregation: exact per-group user cardinality (== DuckDB
+    COUNT(DISTINCT)); the HLL sketch path (approx_count_distinct — one
+    pass, mergeable, the 10^12-row mode) is pytest-bounded against this.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 def q11_rollup_sets(spark, sf_dir):
     """Grouping sets (ROLLUP) — subtotal rows per flag and a grand
     total, one pass (Expand + hash aggregate)."""
@@ -572,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_region_rollup": q10_region_rollup,
         "q11_rollup_sets": q11_rollup_sets,
         "q12_anti_join": q12_anti_join,
+        "q13_distinct_agg": q13_distinct_agg,
         "session_stats_events": session_stats_events,
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_sig_docs": minhash_sig_docs,
@@ -791,6 +803,11 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_custkey = c_custkey
                                 AND o_totalprice > 300000)
             GROUP BY c_mktsegment
+        """,
+        "q13_distinct_agg": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

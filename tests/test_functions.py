@@ -44,3 +44,23 @@ def test_cosine_to_matches_numpy(spark):
     got = df.select(dsf.cosine_to("v", q).alias("c")).toPandas()["c"]
     exp = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
     np.testing.assert_allclose(got, exp, atol=1e-12)
+
+
+def test_approx_count_distinct_tracks_exact(spark):
+    """HLL sketch cardinality (the 10^12-row path) lands within its rsd
+    bound of exact countDistinct."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "g": ["a"] * 5000 + ["b"] * 5000,
+        "u": list(range(1000)) * 5 + list(range(300)) * 10
+        + list(range(2000, 4000)),
+    }))
+    got = (df.groupBy("g")
+           .agg(F.countDistinct("u").alias("exact"),
+                F.approx_count_distinct("u", 0.02).alias("approx"))
+           .toPandas().set_index("g"))
+    for g in ("a", "b"):
+        exact, approx = got.loc[g, "exact"], got.loc[g, "approx"]
+        assert abs(approx - exact) / exact < 0.06   # 3x rsd margin
