@@ -62,11 +62,23 @@ def _cents(col: str):
 def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     docs = _t(spark, sf_dir, "documents")
+    # turn_idx = rank of doc within its source. Computing the window over
+    # the PRUNED (source, doc_id) projection and broadcast-joining the
+    # tiny map back keeps the text column out of the window's
+    # exchange+sort — the text payload stays in its scan partitions,
+    # untouched, for every downstream KG query. (At 10^12 rows the map
+    # outgrows a broadcast; there you bucket both sides by doc_id or
+    # derive the index arithmetically at ingest.)
     w = Window.partitionBy("source").orderBy("doc_id")
+    idx = (docs.select("doc_id", "source")
+           .select("doc_id",
+                   (F.row_number().over(w) - 1).cast("int")
+                   .alias("turn_idx")))
     roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
-    return (docs.select(
+    return (docs.join(F.broadcast(idx), "doc_id")
+        .select(
         F.col("source").alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("turn_idx"),
         F.col("text"),
         F.col("lang").alias("tool"))
         .withColumn("role", F.element_at(roles,
