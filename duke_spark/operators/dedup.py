@@ -167,15 +167,24 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 .select("shingle"))
         sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    l, r = sh.alias("l"), sh.alias("r")
+    # carry each doc's shingle count on the join rows: (a) the classic
+    # size filter prunes pairs inside the join — J(A,B) ≤ min/max, so a
+    # size ratio below the threshold can never qualify (semantics
+    # preserved exactly); (b) the per-pair sizes ride the groupBy keys,
+    # removing the two post-aggregation joins the old plan needed
+    sh2 = sh.join(sizes, id_col)
+    l, r = sh2.alias("l"), sh2.alias("r")
+    ratio_ok = (F.col("l.n_sh") >= threshold * F.col("r.n_sh")) & \
+               (F.col("r.n_sh") >= threshold * F.col("l.n_sh"))
     common = (l.join(r, (F.col("l.shingle") == F.col("r.shingle")) &
-                     (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+                     (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")) &
+                     ratio_ok)
               .groupBy(F.col(f"l.{id_col}").alias("a"),
-                       F.col(f"r.{id_col}").alias("b"))
+                       F.col(f"r.{id_col}").alias("b"),
+                       F.col("l.n_sh").alias("na"),
+                       F.col("r.n_sh").alias("nb"))
               .agg(F.count(F.lit(1)).alias("common")))
-    sa = sizes.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"))
-    return (common.join(sa, "a").join(sb, "b")
+    return (common
             .withColumn("jaccard",
                         F.col("common") /
                         (F.col("na") + F.col("nb") - F.col("common")))
