@@ -52,3 +52,20 @@ def session_stats(df: DataFrame, key_col: str = "user_id",
                  F.min(ts_col).alias("session_start"),
                  F.max(ts_col).alias("session_end"),
                  (F.max(us) - F.min(us)).alias("span_us")))
+
+
+def session_window_stats(df: DataFrame, key_col: str = "user_id",
+                         ts_col: str = "ts",
+                         gap: str = "30 minutes") -> DataFrame:
+    """The same per-session rollup via Spark's native ``session_window``
+    — and because session_window is a streaming-capable grouping, the
+    identical code runs over a ``readStream`` DataFrame with a watermark
+    (merging windows in the state store). Boundary note: session_window
+    starts a NEW session when the gap equals the timeout exactly, while
+    ``sessionize`` keeps equality in-session (> vs ≥) — identical for
+    any non-degenerate gap."""
+    return (df.groupBy(key_col, F.session_window(F.col(ts_col), gap))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"))
+            .select(key_col, "n_events", "session_start", "session_end"))
