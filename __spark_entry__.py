@@ -401,6 +401,42 @@ def embedding_near_dups_docs(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.3, num_planes=4)
 
 
+def q14_running_total(spark, sf_dir):
+    """Running aggregate: cumulative spend per customer over order time
+    (window sum, integer cents for exact cross-engine equality)."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (o.select("o_custkey", "o_orderkey",
+                     (F.sum(_cents("o_totalprice")).over(w) / 100.0)
+                     .alias("running_total")))
+
+
+def q15_monthly_rollup(spark, sf_dir):
+    """Temporal bucketing: per-month order counts + revenue
+    (date_trunc-class; month emitted as a formatted string so both
+    engines hash identically)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                      .alias("month"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 (F.sum(_cents("o_totalprice")) / 100.0).alias("revenue")))
+
+
+def q16_pivot_segments(spark, sf_dir):
+    """Pivot: customers per market segment as columns per nation —
+    conditional aggregation (the plan Spark's .pivot compiles to, written
+    portably so the oracle matches column for column)."""
+    c = _t(spark, sf_dir, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"]
+    aggs = [F.sum(F.when(F.col("c_mktsegment") == s, 1).otherwise(0))
+            .alias(f"n_{s.lower()}") for s in segs]
+    return c.groupBy("c_nationkey").agg(*aggs)
+
+
 def q13_distinct_agg(spark, sf_dir):
     """Distinct aggregation: exact per-group user cardinality (== DuckDB
     COUNT(DISTINCT)); the HLL sketch path (approx_count_distinct — one
@@ -596,6 +632,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_rollup_sets": q11_rollup_sets,
         "q12_anti_join": q12_anti_join,
         "q13_distinct_agg": q13_distinct_agg,
+        "q14_running_total": q14_running_total,
+        "q15_monthly_rollup": q15_monthly_rollup,
+        "q16_pivot_segments": q16_pivot_segments,
         "session_stats_events": session_stats_events,
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_sig_docs": minhash_sig_docs,
@@ -820,6 +859,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "q14_running_total": """
+            SELECT o_custkey, o_orderkey,
+                   SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                       OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey
+                             ROWS UNBOUNDED PRECEDING) / 100.0
+                       AS running_total
+            FROM orders
+        """,
+        "q15_monthly_rollup": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0
+                       AS revenue
+            FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
+        """,
+        "q16_pivot_segments": """
+            SELECT c_nationkey,
+                   SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1
+                            ELSE 0 END) AS n_automobile,
+                   SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+                            ELSE 0 END) AS n_building,
+                   SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1
+                            ELSE 0 END) AS n_furniture,
+                   SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1
+                            ELSE 0 END) AS n_household,
+                   SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1
+                            ELSE 0 END) AS n_machinery
+            FROM customer GROUP BY c_nationkey
         """,
         "dedup_exact_docs": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
