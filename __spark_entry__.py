@@ -401,6 +401,21 @@ def embedding_near_dups_docs(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.3, num_planes=4)
 
 
+def q17_json_props(spark, sf_dir):
+    """Semi-structured extraction: pull the numeric field out of the
+    JSON props column (JVM-side get_json_object — no UDF) and roll up
+    per event type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.withColumn("k", k)
+            .filter(F.col("k").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"),
+                 F.max("k").alias("max_k")))
+
+
 def q14_running_total(spark, sf_dir):
     """Running aggregate: cumulative spend per customer over order time
     (window sum, integer cents for exact cross-engine equality)."""
@@ -635,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_running_total": q14_running_total,
         "q15_monthly_rollup": q15_monthly_rollup,
         "q16_pivot_segments": q16_pivot_segments,
+        "q17_json_props": q17_json_props,
         "session_stats_events": session_stats_events,
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_sig_docs": minhash_sig_docs,
@@ -859,6 +875,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "q17_json_props": """
+            WITH e AS (SELECT event_type,
+                              CAST(props->>'k' AS BIGINT) AS k
+                       FROM events)
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(k) AS BIGINT) AS sum_k,
+                   MIN(k) AS min_k, MAX(k) AS max_k
+            FROM e WHERE k IS NOT NULL GROUP BY event_type
         """,
         "q14_running_total": """
             SELECT o_custkey, o_orderkey,
