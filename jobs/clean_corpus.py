@@ -37,6 +37,10 @@ def main() -> None:
                          "or connected-components keep-min-per-cluster")
     ap.add_argument("--min-words", type=int, default=5)
     ap.add_argument("--max-stop", type=float, default=0.7)
+    ap.add_argument("--max-len-quantile", type=float, default=None,
+                    help="drop docs above this corpus word-length "
+                         "quantile (e.g. 0.99 — outlier/garbage cap via "
+                         "the one-pass approx_percentile sketch)")
     ap.add_argument("--langs", default="en,de,fr,es")
     args = ap.parse_args()
 
@@ -79,6 +83,18 @@ def main() -> None:
             .select(*[c for c in docs.columns]))
     n4 = docs.count()
 
+    # 5. optional length-outlier cap: one approx_percentile sketch pass
+    # over the survivors, then a pushable filter (runaway concatenations
+    # and binary-garbage docs live in the extreme right tail)
+    len_cap = None
+    if args.max_len_quantile is not None:
+        n_words = F.size(F.split(F.col("text"), " "))
+        len_cap = docs.agg(F.approx_percentile(
+            n_words.cast("double"), F.lit(args.max_len_quantile),
+            F.lit(10000))).collect()[0][0]
+        docs = docs.filter(n_words <= len_cap)
+    n5 = docs.count()
+
     docs.write.mode("overwrite").parquet(os.path.join(args.out, "clean"))
     stats = {
         "job": "clean_corpus", "input": args.input,
@@ -87,7 +103,9 @@ def main() -> None:
         "after_near_dup": int(n2),
         "after_quality": int(n3),
         "after_language": int(n4),
-        "kept_frac": round(n4 / n0, 4) if n0 else None,
+        "after_length_cap": int(n5),
+        "length_cap_words": len_cap,
+        "kept_frac": round(n5 / n0, 4) if n0 else None,
         "elapsed_sec": round(time.time() - t0, 2),
     }
     os.makedirs(args.out, exist_ok=True)
