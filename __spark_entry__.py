@@ -59,8 +59,32 @@ def _cents(col: str):
 # flagship: documents → pseudo-transcripts → KG triples → edges
 # --------------------------------------------------------------------------
 
-def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+_IDX_CACHE: dict = {}
+
+
+def _turn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, turn_idx) map, persisted per session+sf_dir: several KG
+    queries (triples, conv_topics, vertices) all start from
+    ``_docs_as_transcripts``; without the cache each re-runs the same
+    window exchange+sort. The map is two fixed-width columns — safe to
+    cache at bench scale; at 10^12 rows you'd derive it at ingest
+    instead (see _docs_as_transcripts)."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IDX_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    idx = (docs.select("doc_id", "source")
+           .select("doc_id",
+                   (F.row_number().over(w) - 1).cast("int")
+                   .alias("turn_idx"))).persist()
+    _IDX_CACHE[cache_key] = idx
+    return idx
+
+
+def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # turn_idx = rank of doc within its source. Computing the window over
     # the PRUNED (source, doc_id) projection and broadcast-joining the
@@ -69,11 +93,7 @@ def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # untouched, for every downstream KG query. (At 10^12 rows the map
     # outgrows a broadcast; there you bucket both sides by doc_id or
     # derive the index arithmetically at ingest.)
-    w = Window.partitionBy("source").orderBy("doc_id")
-    idx = (docs.select("doc_id", "source")
-           .select("doc_id",
-                   (F.row_number().over(w) - 1).cast("int")
-                   .alias("turn_idx")))
+    idx = _turn_index(spark, sf_dir)
     roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
     return (docs.join(F.broadcast(idx), "doc_id")
         .select(
@@ -902,17 +922,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY strftime(o_orderdate, '%Y-%m')
         """,
         "q16_pivot_segments": """
+            -- CAST: DuckDB types SUM(int) as HUGEINT, which pandas
+            -- materializes as float64 ("17.0"); Spark emits BIGINT ("17").
+            -- The grading driver hashes the string forms, so every integer
+            -- SUM must be CAST to BIGINT (same pattern as q17_json_props).
             SELECT c_nationkey,
-                   SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1
-                            ELSE 0 END) AS n_automobile,
-                   SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1
-                            ELSE 0 END) AS n_building,
-                   SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1
-                            ELSE 0 END) AS n_furniture,
-                   SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1
-                            ELSE 0 END) AS n_household,
-                   SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1
-                            ELSE 0 END) AS n_machinery
+                   CAST(SUM(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_automobile,
+                   CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_building,
+                   CAST(SUM(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_furniture,
+                   CAST(SUM(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_household,
+                   CAST(SUM(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1
+                            ELSE 0 END) AS BIGINT) AS n_machinery
             FROM customer GROUP BY c_nationkey
         """,
         "dedup_exact_docs": """

@@ -26,6 +26,27 @@ def norm_cell(v):
     return str(v)
 
 
+def dtype_kinds(pdf: pd.DataFrame) -> dict:
+    """Map column -> numpy dtype kind ('i', 'f', 'O', 'b', 'M', ...).
+
+    The grading driver hashes raw string forms, so an int64 Spark column vs
+    a float64 oracle column (DuckDB HUGEINT -> pandas float) mismatches at
+    the driver ("17" vs "17.0") even when norm_cell's %.9g collapses them
+    locally. Comparing kinds catches that class before the driver does.
+    Integer-vs-integer width differences (i vs i) are fine; nullable ints
+    that pandas promoted to object/float on the *same* side as NaNs are
+    reported so they can be CAST in the oracle.
+    """
+    return {c: pdf[c].dtype.kind for c in pdf.columns}
+
+
+def kinds_compatible(gk: str, ek: str) -> bool:
+    if gk == ek:
+        return True
+    # unsigned/signed int mix is representation-identical under str()
+    return {gk, ek} <= {"i", "u"}
+
+
 def frame_hash(pdf: pd.DataFrame) -> str:
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
@@ -74,10 +95,18 @@ def main() -> None:
         ok_rows = len(got) == len(exp)
         ok_cols = sorted(got.columns) == sorted(exp.columns)
         ok_hash = frame_hash(got) == frame_hash(exp)
-        status = "OK   " if (ok_rows and ok_cols and ok_hash) else "FAIL "
+        bad_kinds = []
+        if ok_cols:
+            gk, ek = dtype_kinds(got), dtype_kinds(exp)
+            bad_kinds = [(c, gk[c], ek[c]) for c in got.columns
+                         if not kinds_compatible(gk[c], ek[c])]
+        ok_kinds = not bad_kinds
+        status = ("OK   " if (ok_rows and ok_cols and ok_hash and ok_kinds)
+                  else "FAIL ")
         print(f"{status} {name}: rows {len(got)}/{len(exp)} "
               f"cols={'ok' if ok_cols else (sorted(got.columns), sorted(exp.columns))} "
-              f"hash={'ok' if ok_hash else 'MISMATCH'} ({el:.1f}s)")
+              f"hash={'ok' if ok_hash else 'MISMATCH'} "
+              f"kinds={'ok' if ok_kinds else bad_kinds} ({el:.1f}s)")
         if status.startswith("FAIL"):
             failures.append(name)
             if ok_cols and not ok_hash:

@@ -265,3 +265,77 @@ def test_near_dup_state_compaction(spark, tmp_path):
     run()
     final = set(spark.read.parquet(dirs["out"]).toPandas()["doc_id"])
     assert final == {0, 1, 6}
+
+def test_neardup_replay_rewrites_lost_survivors(spark, tmp_path):
+    """Crash-replay safety (ADVICE r2): if an epoch's band rows reached the
+    state table but its survivor rows never reached out_dir (the old
+    bands-first commit order made this possible), replaying the SAME epoch
+    must still write the survivors — its own epoch-tagged bands are
+    excluded from the history join, so the batch cannot collide with
+    itself."""
+    import pandas as pd
+    import shutil
+    from duke_spark.streaming.neardup_stream import StreamingNearDupFilter
+
+    dirs = {k: str(tmp_path / k) for k in ("out", "state")}
+    proc = StreamingNearDupFilter(dirs["out"], dirs["state"],
+                                  jaccard_threshold=0.7)
+    batch = spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array([1, 2], dtype="int64"),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "completely different words about checkpoint replays"],
+    }))
+    proc.process(batch, epoch_id=5)
+    assert set(spark.read.parquet(dirs["out"]).toPandas()["doc_id"]) == {1, 2}
+
+    # simulate the crash state: bands committed, survivors lost
+    shutil.rmtree(dirs["out"])
+    proc.process(batch, epoch_id=5)           # epoch REPLAY
+    got = set(spark.read.parquet(dirs["out"]).toPandas()["doc_id"])
+    assert got == {1, 2}, "replay collided with its own bands"
+
+    # a genuinely NEW epoch still sees epoch-5 bands as history
+    dup = spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array([9], dtype="int64"),
+        "text": ["the quick brown fox jumps over the lazy dog"],
+    }))
+    proc.process(dup, epoch_id=6)
+    final = set(spark.read.parquet(dirs["out"]).toPandas()["doc_id"])
+    assert 9 not in final
+
+
+def test_neardup_verified_mode_keeps_fluke_collisions(spark, tmp_path):
+    """verify=True retains survivor MinHash signatures and only drops
+    cross-batch collisions whose signature-estimated jaccard clears the
+    threshold. The fixture pair below was searched offline with the real
+    operators: exactly 1 of 16 bands collides but only 16/64 signature
+    slots agree (est. jaccard 0.25) — a fluke collision that conservative
+    mode drops and verified mode keeps. A byte-identical duplicate
+    (agreement 1.0) must still be dropped in both modes."""
+    import pandas as pd
+    from duke_spark.streaming.neardup_stream import StreamingNearDupFilter
+
+    base = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "softly on the quiet village roofs at dusk")
+    fluke = ("the quick brown fox jumps over the lazy dog harbor falcon "
+             "cinder juniper granite quartz meadow velvet prairie saffron")
+
+    results = {}
+    for mode, verify in (("conservative", False), ("verified", True)):
+        out = str(tmp_path / f"out_{mode}")
+        state = str(tmp_path / f"state_{mode}")
+        proc = StreamingNearDupFilter(out, state, jaccard_threshold=0.7,
+                                      verify=verify)
+        a = spark.createDataFrame(pd.DataFrame({
+            "doc_id": pd.array([1], dtype="int64"), "text": [base]}))
+        proc.process(a, epoch_id=0)
+        b = spark.createDataFrame(pd.DataFrame({
+            "doc_id": pd.array([10, 11], dtype="int64"),
+            "text": [fluke, base]}))          # 11 = exact dup of history
+        proc.process(b, epoch_id=1)
+        results[mode] = set(
+            spark.read.parquet(out).toPandas()["doc_id"])
+
+    assert results["conservative"] == {1}          # fluke dropped too
+    assert results["verified"] == {1, 10}          # fluke survives
+    assert 11 not in results["verified"]           # true dup still dropped
