@@ -109,6 +109,10 @@ def _conv_score_partials(mentions: DataFrame, ctx_bc) -> DataFrame:
     def run(batches):
         ctx: LinkContext = ctx_bc.value
         for pdf in batches:
+            # null mentions must go BEFORE factorize: pd.factorize codes
+            # them -1, and the pair decode (puniq % len(uniq_m)) would
+            # silently credit their weight to the LAST distinct mention.
+            pdf = pdf.dropna(subset=["mention"])
             if len(pdf) == 0:
                 continue
             codes_m, uniq_m = pd.factorize(pdf["mention"])

@@ -202,13 +202,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     rounds — the right tradeoff for near-dup graphs, whose components are
     quasi-cliques (diameter ≲ 3) rather than long paths; web-scale
     general graphs would want large-star/small-star's O(log n) instead.
-    Each round is one shuffle join keyed by node + one hash-agg."""
+    Each round is one shuffle join keyed by node + one hash-agg; the
+    convergence check is a ``max(changed)`` flag folded into the label
+    update itself, aggregated over the already-checkpointed partitions —
+    not the old extra join+count over the full label table.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass with labels still
+    changing — silently returning partially-propagated labels would let
+    ``near_dup_filter(strategy='components')`` keep extra survivors with
+    no signal that the chain-correct guarantee was broken."""
     sym = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
            .union(pairs.select(F.col("b").alias("u"),
                                F.col("a").alias("v")))
            .distinct().persist())
     labels = (sym.select(F.col("u").alias("node")).distinct()
               .withColumn("comp", F.col("node")).localCheckpoint())
+    changed = 1
     for _ in range(max_iter):
         nbr_min = (sym.join(labels.withColumnRenamed("node", "v")
                             .withColumnRenamed("comp", "vcomp"), "v")
@@ -219,15 +228,20 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                       .select("node",
                               F.least(F.col("comp"),
                                       F.coalesce("nbr_comp", F.col("comp"))
-                                      ).alias("comp"))
+                                      ).alias("comp"),
+                              (F.coalesce("nbr_comp", F.col("comp"))
+                               < F.col("comp")).cast("int").alias("chg"))
                       .localCheckpoint())
-        changed = (new_labels.withColumnRenamed("comp", "new_comp")
-                   .join(labels, "node")
-                   .filter(F.col("new_comp") != F.col("comp")).count())
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.max("chg")).collect()[0][0]
+        labels = new_labels.drop("chg")
+        if not changed:
             break
     sym.unpersist()
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(labels still changing) — raise max_iter, or use the greedy "
+            "near_dup_filter strategy for this graph")
     return labels
 
 

@@ -115,7 +115,14 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     (contributions = rank/out_deg shuffled to dst, damped sum, repeat),
     with ``localCheckpoint`` per round to truncate lineage like
     ``dedup.connected_components``. Dangling mass is redistributed
-    uniformly so ranks sum to the vertex count at every step."""
+    uniformly so ranks sum to the vertex count at every step.
+
+    One Spark job per iteration: the dangling mass is derived from the
+    SAME contributions aggregate (Σ contrib over all dst == Σ rank over
+    vertices with out-edges, since per-src fracs sum to 1), broadcast as
+    a 1-row total into the update plan — no separate driver ``collect``.
+    The contributions shuffle is shared between the total and the join
+    (ReuseExchange), so it is computed once."""
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     out_w = (edges.groupBy("src").agg(F.sum(w).alias("out_w")))
     norm = (edges.select("src", "dst", w.alias("w"))
@@ -132,15 +139,15 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
                     .groupBy(F.col("dst").alias("id"))
                     .agg(F.sum(F.col("frac") * F.col("rank"))
                          .alias("contrib")))
-        total_ranked = ranks.join(out_w.withColumnRenamed("src", "id"),
-                                  "id", "left_semi") \
-            .agg(F.sum("rank")).collect()[0][0] or 0.0
-        dangling = (n - total_ranked) / n
+        tot = contribs.agg(F.sum("contrib").alias("_tot"))
+        dangling = ((F.lit(float(n)) - F.coalesce("_tot", F.lit(0.0)))
+                    / F.lit(float(n)))
         ranks = (verts.join(contribs, "id", "left")
+                 .crossJoin(F.broadcast(tot))
                  .select("id",
                          (F.lit(1.0 - damping) + F.lit(damping) *
                           (F.coalesce("contrib", F.lit(0.0)) +
-                           F.lit(dangling))).alias("rank"))
+                           dangling)).alias("rank"))
                  .localCheckpoint())
     norm.unpersist()
     verts.unpersist()

@@ -165,6 +165,21 @@ def test_connected_components_labels(spark):
     assert comp == {0: 0, 1: 0, 2: 0, 5: 5, 6: 5}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """A path graph 0-1-2-...-9 needs ~diameter rounds of min-label
+    propagation; with max_iter below that the operator must RAISE rather
+    than silently return partially-propagated labels (which would let the
+    components survivor policy keep extra docs with no signal)."""
+    from duke_spark.operators.dedup import connected_components
+    path = spark.createDataFrame(
+        pd.DataFrame({"a": list(range(9)), "b": list(range(1, 10))}))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iter=3)
+    comp = (connected_components(path, max_iter=15).toPandas()
+            .set_index("node")["comp"].to_dict())
+    assert comp == {i: 0 for i in range(10)}
+
+
 def test_near_dup_components_beats_greedy_on_chain(spark):
     """Chain 0–2–1 (0~2 and 1~2 similar, 0≁1): greedy drops only doc 2
     (the larger id of both pairs) and keeps chain member 1; connected

@@ -68,3 +68,40 @@ def test_pagerank_matches_reference(spark, edges):
     assert got["v0"] == got.max()
     # total rank mass conserved (dangling redistribution)
     assert got.sum() == pytest.approx(len(exp), rel=1e-9)
+
+
+def test_pagerank_one_action_per_iteration(spark, edges):
+    """The dangling-mass total rides the contributions aggregate as a
+    broadcast 1-row frame — no per-iteration driver collect scanning the
+    rank table. Each power iteration is ONE action (the eager
+    localCheckpoint); the only other job Spark runs per iteration is the
+    build of that 1-row broadcast (BroadcastExchange materializes its
+    child with its own tiny job), so the pinned count is 2."""
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def jobs_for(iters):
+        group = f"pr-jobcount-{iters}"
+        sc.setJobGroup(group, "pagerank job-count probe")
+        try:
+            pagerank(edges, iters=iters).count()
+        finally:
+            sc.setJobGroup(None, None)
+        return len(tracker.getJobIdsForGroup(group))
+
+    # AQE materializes every exchange as its own job, and auto-broadcast
+    # of the tiny test tables adds size-dependent broadcast-build jobs;
+    # switch both off so the count measures the algorithm, not the plan
+    # heuristics for 8-row inputs.
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # fixed setup cost (vertex count, checkpoint of rank=1, final
+        # count) cancels in the difference; 3 extra iterations must cost
+        # exactly 3 × (checkpoint + 1-row broadcast build) = 6 jobs
+        assert jobs_for(5) - jobs_for(2) == 6
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)

@@ -162,3 +162,38 @@ def test_describe_dataset_matches_oracle(spark, tiny_transcripts, ctx_bc,
     assert [c for c, _ in got["top"]] == [c for c, _ in exp["top"]]
     for (_, a), (_, b) in zip(got["top"], exp["top"]):
         assert abs(a - b) < 1e-6
+
+
+def test_conversation_scores_ignore_null_mentions(spark, ctx_bc):
+    """Null mentions must be dropped, not mis-attributed: pd.factorize
+    codes NaN as -1, and before the dropna guard the pair decode
+    (puniq % len(uniq)) silently credited null rows' weight to the LAST
+    distinct mention. Scores with injected nulls must equal scores
+    without them, and n_mentions must not count the null rows."""
+    from duke_spark.operators.canonical import conversation_class_scores
+
+    clean = pd.DataFrame({
+        "conv_id": ["c1", "c1", "c1", "c2"],
+        "mention": ["baseball league", "guitar song", "baseball league",
+                    "river water"],
+    })
+    noisy = pd.concat([clean, pd.DataFrame({
+        "conv_id": ["c1", "c2", "c2"],
+        "mention": [None, None, None],
+    })], ignore_index=True)
+
+    def run(pdf):
+        out = (conversation_class_scores(
+                   spark.createDataFrame(pdf), ctx_bc)
+               .toPandas().set_index("conv_id").sort_index())
+        return out
+
+    a, b = run(clean), run(noisy)
+    assert list(a["n_mentions"]) == list(b["n_mentions"]) == [3, 1]
+    # tolerance: adding rows reshapes the Arrow batches, so partial-sum
+    # order shifts at float32 rounding scale (~1e-7); the mis-attribution
+    # bug this guards against moves scores at O(1).
+    for conv in a.index:
+        np.testing.assert_allclose(a.loc[conv, "mean_scores"],
+                                   b.loc[conv, "mean_scores"],
+                                   rtol=1e-4, atol=1e-6)
