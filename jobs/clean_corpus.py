@@ -48,7 +48,8 @@ def main() -> None:
 
     from duke_spark.config import get_spark
     from duke_spark.operators.dedup import exact_dedup, near_dup_filter
-    from duke_spark.operators.text_analysis import language_id, quality_scores
+    from duke_spark.operators.lang_id import detect_language
+    from duke_spark.operators.text_analysis import quality_scores
 
     spark = get_spark("clean_corpus", master=f"local[{args.parallelism}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,8 +78,10 @@ def main() -> None:
     n3 = docs.count()
 
     # 4. language filter (keep confidently-identified allowed languages)
+    # — the full ~45-language script+stopword+trigram detector, still a
+    # narrow zero-shuffle projection (operators/lang_id.py)
     allowed = args.langs.split(",")
-    lid = language_id(docs)
+    lid = detect_language(docs)
     docs = (lid.filter(F.col("lang_pred").isin(allowed))
             .select(*[c for c in docs.columns]))
     n4 = docs.count()
