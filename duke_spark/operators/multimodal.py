@@ -9,12 +9,13 @@ rest), so these operators are part of the training-data-pipeline surface
 grafted on top, anchored to the same batch-kernel architecture as
 ``duke_spark.operators.linking``.
 
-Decode/resample kernels that need codec libraries (PIL/ffmpeg — not in
-this container) are STUBBED: ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder (header-parse + seeded synthesis from the blob
-hash) stands in. All Spark-side plumbing — schema, batch iteration,
-partition sizing, output shapes — is real and tested either way.
+Real codecs, stdlib-only: PNG and WAV decode/encode via
+``kernel.codecs`` (zlib + RIFF — no PIL/ffmpeg needed), so
+``image_features``/``resize_images``/``audio_frame_stats`` run on real
+bytes. JPEG/MP3-class formats still need external libs absent from this
+container and raise ``NotImplementedError`` (declared, not silently
+wrong). The deterministic fixture codec (header-parse + seeded synthesis
+from the blob hash) remains behind ``fake=True`` for reproducible tests.
 
 At 100 TB: blobs dominate row size, so ``spark.sql.files.maxPartitionBytes``
 governs batch memory, metadata-only queries must never touch the blob
@@ -82,28 +83,43 @@ def _parse_audio(blob: bytes) -> Optional[np.ndarray]:
 
 
 def decode_image(blob: bytes, fake: bool = False) -> np.ndarray:
-    """Real decoder STUB. With ``fake=True`` parses the deterministic
-    fixture format above; otherwise this is where PIL/turbojpeg would go
-    (library absent in this container)."""
-    if not fake:
-        raise NotImplementedError(
-            "real image codecs (PIL/libjpeg) are not available in this "
-            "container; pass fake=True for the deterministic fixture codec")
+    """Image bytes → uint8 (h, w, c). PNG decodes for real via the
+    stdlib zlib codec (``kernel.codecs.decode_png``); ``fake=True``
+    additionally accepts the deterministic DSIM fixture format. Formats
+    needing external libs (JPEG/WebP — PIL/libjpeg absent in this
+    container) raise ``NotImplementedError``."""
+    from duke_spark.kernel.codecs import PNG_SIG, decode_png
+    if blob is not None and bytes(blob[:8]) == PNG_SIG:
+        return decode_png(bytes(blob))
     arr = _parse_image(blob)
-    if arr is None:
-        raise ValueError("not a DSIM fixture blob")
-    return arr
+    if arr is not None:
+        if not fake:
+            raise ValueError(
+                "DSIM fixture blob; pass fake=True to accept the fixture "
+                "codec")
+        return arr
+    raise NotImplementedError(
+        "only PNG is decodable stdlib-side; JPEG/WebP need PIL/libjpeg "
+        "(absent in this container)")
 
 
 def decode_audio(blob: bytes, fake: bool = False) -> np.ndarray:
-    if not fake:
-        raise NotImplementedError(
-            "real audio codecs (ffmpeg/soundfile) are not available in this "
-            "container; pass fake=True for the deterministic fixture codec")
+    """Audio bytes → mono float32 samples. WAV (PCM16/float32) decodes
+    for real via ``kernel.codecs.decode_wav``; ``fake=True`` additionally
+    accepts the DSAU fixture format."""
+    from duke_spark.kernel.codecs import decode_wav
+    if blob is not None and bytes(blob[:4]) == b"RIFF":
+        return decode_wav(bytes(blob))[1]
     arr = _parse_audio(blob)
-    if arr is None:
-        raise ValueError("not a DSAU fixture blob")
-    return arr
+    if arr is not None:
+        if not fake:
+            raise ValueError(
+                "DSAU fixture blob; pass fake=True to accept the fixture "
+                "codec")
+        return arr
+    raise NotImplementedError(
+        "only WAV is decodable stdlib-side; MP3/AAC need ffmpeg (absent "
+        "in this container)")
 
 
 # ---------------------------------------------------------------------------
@@ -130,8 +146,17 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
 
     One ``mapInPandas`` pass; reads only (id, blob) thanks to the explicit
     ``select`` (column pruning reaches the scan). Hash is blake2b-128 of
-    the payload — the exact-dedup key for media."""
+    the payload — the exact-dedup key for media.
+
+    Recognized headers, all parsed columnar-NumPy over a stacked 44-byte
+    head block (no per-row struct.unpack, no payload materialization):
+    PNG (IHDR dims/channels — IHDR is mandatory-first per spec), WAV
+    (canonical RIFF layout: fmt at offset 12, data at 36 — the layout
+    every encoder writes; non-canonical WAVs get sample_rate only), and
+    the two deterministic fixture formats (DSIM/DSAU)."""
+    from duke_spark.kernel.codecs import PNG_SIG
     pruned = df.select(F.col(id_col).alias("media_id"), F.col(blob_col))
+    HEAD = 44
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -139,34 +164,65 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
             n = len(blobs)
             if n == 0:
                 continue
-            # columnar header parse: only the first 12 bytes of each blob
-            # are touched Python-side (plus the per-blob C hash call);
-            # field extraction is NumPy over the stacked header block —
-            # no per-row struct.unpack, no payload materialization
             heads = np.frombuffer(
-                b"".join(bytes(b[:12]).ljust(12, b"\0") for b in blobs),
-                dtype=np.uint8).reshape(n, 12).astype(np.int64)
+                b"".join(bytes(b[:HEAD]).ljust(HEAD, b"\0") for b in blobs),
+                dtype=np.uint8).reshape(n, HEAD).astype(np.int64)
             n_bytes = np.fromiter((len(b) for b in blobs),
                                   dtype=np.int64, count=n)
             hashes = [hashlib.blake2b(bytes(b), digest_size=16).hexdigest()
                       for b in blobs]
-            magic_img = np.frombuffer(_MAGIC_IMG, dtype=np.uint8)
-            magic_aud = np.frombuffer(_MAGIC_AUD, dtype=np.uint8)
-            is_img = (heads[:, :4] == magic_img).all(axis=1)
-            is_aud = (heads[:, :4] == magic_aud).all(axis=1)
-            w = heads[:, 4] | (heads[:, 5] << 8)            # u16 LE
-            h = heads[:, 6] | (heads[:, 7] << 8)
-            c = heads[:, 8]
-            img_ok = is_img & (n_bytes >= 9) & \
-                (n_bytes - 9 == w * h * c)
-            sr = (heads[:, 4] | (heads[:, 5] << 8) |
-                  (heads[:, 6] << 16) | (heads[:, 7] << 24))  # u32 LE
-            ns = (heads[:, 8] | (heads[:, 9] << 8) |
-                  (heads[:, 10] << 16) | (heads[:, 11] << 24))
-            aud_ok = is_aud & (n_bytes >= 12) & \
-                (n_bytes - 12 == 4 * ns)
+
+            def eq(off: int, sig: bytes):
+                ref = np.frombuffer(sig, dtype=np.uint8)
+                return (heads[:, off:off + len(sig)] == ref).all(axis=1)
+
+            def u16le(off):
+                return heads[:, off] | (heads[:, off + 1] << 8)
+
+            def u32le(off):
+                return (heads[:, off] | (heads[:, off + 1] << 8) |
+                        (heads[:, off + 2] << 16) | (heads[:, off + 3] << 24))
+
+            def u32be(off):
+                return ((heads[:, off] << 24) | (heads[:, off + 1] << 16) |
+                        (heads[:, off + 2] << 8) | heads[:, off + 3])
+
+            # fixture image: DSIM, w/h u16 LE, c u8, raw payload
+            is_dsim = eq(0, _MAGIC_IMG)
+            fw, fh, fc = u16le(4), u16le(6), heads[:, 8]
+            dsim_ok = is_dsim & (n_bytes >= 9) & (n_bytes - 9 == fw * fh * fc)
+            # fixture audio: DSAU, sr/nsamples u32 LE, f32 payload
+            is_dsau = eq(0, _MAGIC_AUD)
+            fsr, fns = u32le(4), u32le(8)
+            dsau_ok = is_dsau & (n_bytes >= 12) & (n_bytes - 12 == 4 * fns)
+            # PNG: sig + mandatory-first IHDR at offset 16
+            is_png = eq(0, PNG_SIG) & eq(12, b"IHDR")
+            pw, ph = u32be(16), u32be(20)
+            pdepth, pctype = heads[:, 24], heads[:, 25]
+            pc = np.select([pctype == 0, pctype == 2, pctype == 4,
+                            pctype == 6], [1, 3, 2, 4], default=0)
+            png_ok = is_png & (pdepth == 8) & (pc > 0)
+            # WAV: RIFF/WAVE; canonical fmt chunk at 12, data at 36
+            is_wav = eq(0, b"RIFF") & eq(8, b"WAVE")
+            wav_canon = is_wav & eq(12, b"fmt ")
+            wsr = u32le(24)
+            wch = np.maximum(u16le(22), 1)
+            wbits = np.maximum(u16le(34), 8)
+            has_data = wav_canon & eq(36, b"data")
+            wns = np.where(has_data,
+                           u32le(40) // np.maximum((wbits // 8) * wch, 1), 0)
+            wav_ok = wav_canon & (wsr > 0)
+
+            img_ok = dsim_ok | png_ok
+            aud_ok = dsau_ok | wav_ok
             kind = np.where(img_ok, "image",
                             np.where(aud_ok, "audio", "unknown"))
+            w = np.where(png_ok, pw, fw)
+            h = np.where(png_ok, ph, fh)
+            c = np.where(png_ok, pc, fc)
+            sr = np.where(wav_ok, wsr, fsr)
+            ns = np.where(wav_ok, wns, fns)
+            ns_mask = aud_ok & (dsau_ok | has_data)
 
             def opt(vals, mask, cast=int):
                 return [cast(v) if m else None
@@ -181,7 +237,7 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
                 "height": opt(h, img_ok),
                 "channels": opt(c, img_ok),
                 "sample_rate": opt(sr, aud_ok),
-                "n_samples": opt(ns, aud_ok),
+                "n_samples": opt(ns, ns_mask),
                 "valid": img_ok | aud_ok,
             })
 
@@ -210,7 +266,7 @@ def image_features(df: DataFrame, id_col: str = "media_id",
                 ids.append(mid)
                 try:
                     arr = decode_image(bytes(blob), fake=fake)
-                except (ValueError, TypeError):
+                except (ValueError, TypeError, NotImplementedError):
                     feats.append(None)
                     continue
                 flat = arr.astype(np.float32)
@@ -235,9 +291,9 @@ RESIZE_SCHEMA = T.StructType([
 def resize_images(df: DataFrame, out_w: int, out_h: int,
                   id_col: str = "media_id", blob_col: str = "blob",
                   fake: bool = True) -> DataFrame:
-    """Nearest-neighbor resize, re-encoded to the fixture format. The real
-    path would swap the kernel for PIL's — the Spark plumbing (blob in,
-    blob out, batch shapes) is identical."""
+    """Nearest-neighbor resize, re-encoded in the INPUT's format: PNG in
+    → PNG out (stdlib zlib encoder), fixture in → fixture out."""
+    from duke_spark.kernel.codecs import PNG_SIG, encode_png
     pruned = df.select(F.col(id_col).alias("media_id"), F.col(blob_col))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -246,14 +302,18 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
             for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
                 try:
                     arr = decode_image(bytes(blob), fake=fake)
-                except (ValueError, TypeError):
+                except (ValueError, TypeError, NotImplementedError):
                     continue
                 h, w, c = arr.shape
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
                 small = arr[yi][:, xi]
-                out_blob = (_MAGIC_IMG + struct.pack("<HHB", out_w, out_h, c)
-                            + small.tobytes())
+                if bytes(blob[:8]) == PNG_SIG:
+                    out_blob = encode_png(small)
+                else:
+                    out_blob = (_MAGIC_IMG +
+                                struct.pack("<HHB", out_w, out_h, c)
+                                + small.tobytes())
                 rows.append({"media_id": mid, "blob": out_blob,
                              "width": out_w, "height": out_h})
             yield pd.DataFrame(rows, columns=["media_id", "blob",
@@ -286,7 +346,7 @@ def audio_frame_stats(df: DataFrame, frame_len: int = 1024,
             for mid, blob in zip(pdf["media_id"], pdf[blob_col]):
                 try:
                     samples = decode_audio(bytes(blob), fake=fake)
-                except (ValueError, TypeError):
+                except (ValueError, TypeError, NotImplementedError):
                     continue
                 n_frames = min(max_frames,
                                max(len(samples) // frame_len, 1))

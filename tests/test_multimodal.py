@@ -89,8 +89,170 @@ def test_audio_frame_stats_fanout(media_df):
         assert (np.diff(offs) > 0).all()
 
 
-def test_real_decoder_is_stubbed():
+def test_unknown_formats_raise_declared():
+    """PNG/WAV decode for real (stdlib codecs); everything else —
+    JPEG/MP3-class formats needing external libs — raises
+    NotImplementedError instead of misdecoding."""
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"anything", fake=False)
+        mm.decode_image(b"\xff\xd8\xff\xe0 jpeg-ish", fake=False)
     with pytest.raises(NotImplementedError):
-        mm.decode_audio(b"anything", fake=False)
+        mm.decode_audio(b"ID3 mp3-ish", fake=False)
+    # fixture blobs are gated behind fake=True
+    blob = mm.make_fake_image("k", 4, 4)
+    with pytest.raises(ValueError, match="fake=True"):
+        mm.decode_image(blob, fake=False)
+
+
+# --- real stdlib codecs (kernel/codecs.py): PNG + WAV -----------------------
+
+def _ref_filter_row(ftype, line, prev, c):
+    """Reference PNG row FILTERING (the encoder side of the spec), used to
+    craft streams that exercise every decode filter type."""
+    out = np.zeros_like(line)
+    for i in range(len(line)):
+        a = int(line[i - c]) if i >= c else 0
+        b = int(prev[i])
+        cc = int(prev[i - c]) if i >= c else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:
+            pred = a
+        elif ftype == 2:
+            pred = b
+        elif ftype == 3:
+            pred = (a + b) >> 1
+        else:
+            p = a + b - cc
+            pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+            pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else cc)
+        out[i] = (int(line[i]) - pred) % 256
+    return out
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip(channels):
+    from duke_spark.kernel import codecs
+    rng = np.random.default_rng(7 + channels)
+    img = rng.integers(0, 256, size=(13, 9, channels), dtype=np.uint8)
+    blob = codecs.encode_png(img)
+    assert blob[:8] == codecs.PNG_SIG
+    out = codecs.decode_png(blob)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_decode_all_filter_types():
+    """Hand-filter a stream cycling through filters 0..4 (our encoder only
+    emits 0) and check the decoder reconstructs the original exactly."""
+    import struct
+    import zlib
+
+    from duke_spark.kernel import codecs
+    rng = np.random.default_rng(42)
+    h, w, c = 10, 7, 3
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    flat = img.reshape(h, w * c)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    for r in range(h):
+        ftype = r % 5
+        raw.append(ftype)
+        raw.extend(_ref_filter_row(ftype, flat[r], prev, c).tobytes())
+        prev = flat[r]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (codecs.PNG_SIG + codecs._chunk(b"IHDR", ihdr) +
+            codecs._chunk(b"IDAT", zlib.compress(bytes(raw))) +
+            codecs._chunk(b"IEND", b""))
+    np.testing.assert_array_equal(codecs.decode_png(blob), img)
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+
+    from duke_spark.kernel import codecs
+    with pytest.raises(ValueError, match="signature"):
+        codecs.decode_png(b"JFIF not a png")
+    # palette color type (3) is declared-unsupported, not misdecoded
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    blob = (codecs.PNG_SIG + codecs._chunk(b"IHDR", ihdr) +
+            codecs._chunk(b"IDAT", b"x") + codecs._chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="unsupported"):
+        codecs.decode_png(blob)
+
+
+def test_wav_roundtrip_and_downmix():
+    from duke_spark.kernel import codecs
+    t = np.linspace(0, 1, 8000, dtype=np.float32)
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    sr, out = codecs.decode_wav(codecs.encode_wav(8000, mono))
+    assert sr == 8000 and len(out) == len(mono)
+    np.testing.assert_allclose(out, mono, atol=1e-4)     # PCM16 quantization
+
+
+def test_image_features_on_real_png_no_fake(spark):
+    """The VERDICT de-stub criterion: a real (generated) PNG flows through
+    image_features WITHOUT fake=True."""
+    import pandas as pd
+
+    from duke_spark.kernel import codecs
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": ["png1", "bad1"],
+        "blob": [codecs.encode_png(img), b"JFIFnotdecodable"],
+    }))
+    got = (mm.image_features(df, fake=False).toPandas()
+           .set_index("media_id"))
+    feats = got.loc["png1", "features"]
+    assert len(feats) == 3 + 16                      # chan means + histogram
+    np.testing.assert_allclose(feats[:3], img.reshape(-1, 3).mean(0) / 255.0,
+                               rtol=1e-5)
+    assert got.loc["bad1", "features"] is None       # declared-unsupported
+
+
+def test_resize_real_png_stays_png(spark):
+    import pandas as pd
+
+    from duke_spark.kernel import codecs
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(20, 20, 4), dtype=np.uint8)
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": ["p"], "blob": [codecs.encode_png(img)]}))
+    out = mm.resize_images(df, 10, 10, fake=False).toPandas()
+    blob = bytes(out.loc[0, "blob"])
+    assert blob[:8] == codecs.PNG_SIG
+    small = codecs.decode_png(blob)
+    assert small.shape == (10, 10, 4)
+    np.testing.assert_array_equal(small, img[::2][:, ::2])   # NN resize
+
+
+def test_audio_frame_stats_on_real_wav(spark):
+    import pandas as pd
+
+    from duke_spark.kernel import codecs
+    t = np.arange(4096, dtype=np.float32)
+    samples = (0.25 * np.sin(t / 10)).astype(np.float32)
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": ["w"], "blob": [codecs.encode_wav(16000, samples)]}))
+    out = mm.audio_frame_stats(df, frame_len=1024, max_frames=4,
+                               fake=False).toPandas()
+    assert len(out) == 4
+    assert (out["rms"] > 0.1).all()                  # sine RMS ≈ 0.177
+
+
+def test_metadata_parses_real_png_and_wav(spark):
+    import pandas as pd
+
+    from duke_spark.kernel import codecs
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(24, 17, 3), dtype=np.uint8)
+    wav = codecs.encode_wav(22050, np.zeros(5000, dtype=np.float32))
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": ["png", "wav"],
+        "blob": [codecs.encode_png(img), wav]}))
+    got = mm.media_metadata(df).toPandas().set_index("media_id")
+    assert got.loc["png", "kind"] == "image" and bool(got.loc["png", "valid"])
+    assert (got.loc["png", "width"], got.loc["png", "height"],
+            got.loc["png", "channels"]) == (17, 24, 3)
+    assert got.loc["wav", "kind"] == "audio"
+    assert got.loc["wav", "sample_rate"] == 22050
+    assert got.loc["wav", "n_samples"] == 5000
