@@ -975,7 +975,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = b
             WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2
         """,
-        "token_stats_docs": """
+        "token_stats_docs": r"""
             SELECT source, COUNT(*) AS n_docs,
                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
                        AS total_tokens,

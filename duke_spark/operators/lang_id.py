@@ -195,6 +195,10 @@ DEFAULT_GRAM_PREFIX = 400  # chars the trigram signal is computed on —
 #                            substr + hash per position) is the single
 #                            most expensive term, and trigram coverage
 #                            saturates within a few hundred chars
+DEFAULT_SCRIPT_PREFIX = 300  # chars the ~22 per-script regex counts run
+#                              on — script identity saturates immediately,
+#                              and these regexes are the second-largest
+#                              per-row term after the gram build
 
 
 def trigram_profile(words: list[str]) -> list[str]:
@@ -249,13 +253,20 @@ def detect_language(df: DataFrame, text_col: str = "text",
       skips Catalyst's InSet rewrite and measured ~100× slower;
     * each worded language's matching is wrapped in a script-presence
       CASE (CaseWhen short-circuits at runtime), so a Latin document
-      never evaluates the Cyrillic/Arabic word lists and vice versa."""
+      never evaluates the Cyrillic/Arabic word lists and vice versa;
+    * the shared per-row state (word array, trigram array, script
+      counts) is LET-BOUND inside a single-element ``transform`` lambda.
+      Leaving it as plain projected columns lets alias substitution
+      (filter pushdown, CollapseProject) inline the array-build
+      expression into every one of the ~100 consuming sites — measured
+      ~1.7 s/row inside ``clean_corpus`` vs <1 ms here. A lambda
+      variable cannot be inlined into, so the environment is built once
+      per copy of the whole expression (the two output columns + a
+      pushed filter ⇒ ≤3 copies, not 100)."""
     raw = F.substring(F.col(text_col), 1, prefix_len)
+    sraw = F.substring(F.col(text_col), 1, DEFAULT_SCRIPT_PREFIX)
     letters = F.greatest(
-        F.length(F.regexp_replace(raw, r"[^\p{L}]", "")), F.lit(1))
-
-    # words / padded trigrams of the letter-only lowered prefix, computed
-    # ONCE and shared by every worded-language struct
+        F.length(F.regexp_replace(sraw, r"[^\p{L}]", "")), F.lit(1))
     lowered = F.lower(raw)
     clean = F.trim(F.regexp_replace(
         F.regexp_replace(lowered, r"[^\p{L}']+", " "), r" +", " "))
@@ -269,58 +280,66 @@ def detect_language(df: DataFrame, text_col: str = "text",
                     lambda i: padded.substr(i, F.lit(3)))
     ).otherwise(F.array().cast("array<string>"))
 
-    tmp = (df
-           .withColumn("_lid_words", words)
-           .withColumn("_lid_grams", F.array_distinct(grams))
-           .withColumn("_lid_letters", letters.cast("double")))
+    # the let-bound environment: everything downstream references only
+    # the lambda variable `s`, so each field is evaluated exactly once
+    env_fields = [words.alias("w"), F.array_distinct(grams).alias("g"),
+                  letters.cast("double").alias("lt")]
     for fam, cls in _FAMILY_CLS.items():
-        tmp = tmp.withColumn(f"_lid_{fam}",
-                             _script_count(F.lower(raw), cls))
+        env_fields.append(_script_count(sraw, cls).alias(f"f_{fam}"))
+    for lang, cls in SCRIPT_LANGS.items():
+        env_fields.append(_script_count(sraw, cls).alias(f"s_{lang}"))
+    env_fields.append(_script_count(sraw, _KANA).alias("kana"))
+    env_fields.append(_script_count(sraw, _HAN).alias("han"))
+    env = F.struct(*env_fields)
 
-    w_col, g_col = F.col("_lid_words"), F.col("_lid_grams")
-    n_words = F.greatest(F.size(w_col), F.lit(1)).cast("double")
-    n_g = F.greatest(F.size(g_col), F.lit(1)).cast("double")
+    def vote(s):
+        n_words = F.greatest(F.size(s["w"]), F.lit(1)).cast("double")
+        n_g = F.greatest(F.size(s["g"]), F.lit(1)).cast("double")
+        structs = []
+        for lang in sorted(STOPWORD_PROFILES):
+            sw = STOPWORD_PROFILES[lang]
+            prof = TRIGRAM_PROFILES[lang]
+            stop_ratio = (F.size(F.filter(s["w"],
+                                          lambda x: x.isin(*sw))) / n_words)
+            gram_ratio = F.size(F.array_intersect(
+                s["g"], F.array(*[F.lit(g) for g in prof]))) / n_g
+            score = (F.lit(STOP_WEIGHT) * stop_ratio +
+                     F.lit(GRAM_WEIGHT) * gram_ratio)
+            gated = (F.when(s[f"f_{_WORDED_FAMILY[lang]}"] > 0, score)
+                     .otherwise(F.lit(0.0)))
+            structs.append(F.struct(gated.alias("score"),
+                                    F.lit(lang).alias("lang")))
+        for lang in sorted(SCRIPT_LANGS):
+            frac = s[f"s_{lang}"].cast("double") / s["lt"]
+            structs.append(F.struct(frac.alias("score"),
+                                    F.lit(lang).alias("lang")))
+        # Han/kana: any kana → Japanese (counting Han toward it); Han
+        # with no kana → Chinese
+        kana, han = s["kana"].cast("double"), s["han"].cast("double")
+        structs.append(F.struct(
+            (F.when(kana > 0, kana + han).otherwise(F.lit(0.0))
+             / s["lt"]).alias("score"),
+            F.lit("ja").alias("lang")))
+        structs.append(F.struct(
+            (F.when(kana > 0, F.lit(0.0)).otherwise(han)
+             / s["lt"]).alias("score"),
+            F.lit("zh").alias("lang")))
+        best = F.greatest(*structs)
+        return F.struct(
+            F.when(best["score"] > min_score, best["lang"])
+            .otherwise(F.lit("und")).alias("pred"),
+            F.round(best["score"], 6).alias("score"))
 
-    structs = []
-    for lang in sorted(STOPWORD_PROFILES):
-        sw = STOPWORD_PROFILES[lang]
-        prof = TRIGRAM_PROFILES[lang]
-        stop_ratio = F.size(F.filter(w_col, lambda x: x.isin(*sw))) / n_words
-        gram_ratio = F.size(F.array_intersect(
-            g_col, F.array(*[F.lit(g) for g in prof]))) / n_g
-        score = (F.lit(STOP_WEIGHT) * stop_ratio +
-                 F.lit(GRAM_WEIGHT) * gram_ratio)
-        gated = (F.when(F.col(f"_lid_{_WORDED_FAMILY[lang]}") > 0, score)
-                 .otherwise(F.lit(0.0)))
-        structs.append(F.struct(gated.alias("score"),
-                                F.lit(lang).alias("lang")))
-
-    for lang in sorted(SCRIPT_LANGS):
-        frac = (_script_count(raw, SCRIPT_LANGS[lang]).cast("double")
-                / F.col("_lid_letters"))
-        structs.append(F.struct(frac.alias("score"),
-                                F.lit(lang).alias("lang")))
-
-    # Han/kana: any kana → Japanese (counting Han toward it); Han with no
-    # kana → Chinese
-    kana = _script_count(raw, _KANA).cast("double")
-    han = _script_count(raw, _HAN).cast("double")
-    structs.append(F.struct(
-        (F.when(kana > 0, (kana + han)).otherwise(F.lit(0.0))
-         / F.col("_lid_letters")).alias("score"),
-        F.lit("ja").alias("lang")))
-    structs.append(F.struct(
-        (F.when(kana > 0, F.lit(0.0)).otherwise(han)
-         / F.col("_lid_letters")).alias("score"),
-        F.lit("zh").alias("lang")))
-
-    best = F.greatest(*structs)
-    return (tmp.withColumn("_lid_best", best)
-            .withColumn("lang_pred",
-                        F.when(F.col("_lid_best.score") > min_score,
-                               F.col("_lid_best.lang"))
-                        .otherwise(F.lit("und")))
-            .withColumn("lang_score",
-                        F.round(F.col("_lid_best.score"), 6))
-            .drop("_lid_words", "_lid_grams", "_lid_letters", "_lid_best",
-                  *[f"_lid_{fam}" for fam in _FAMILY_CLS]))
+    # F.shuffle of the 1-element array is a value-level identity but marks
+    # the expression NON-DETERMINISTIC, which (a) stops CollapseProject
+    # from inlining the whole vote into every consumer and (b) stops
+    # filter pushdown from moving a `lang_pred` predicate into a Filter
+    # node — predicate-context evaluation of this expression measured
+    # ~20× slower per row than projection-context (and the inline path
+    # measured ~100 copies). With the guard, downstream filters see a
+    # plain attribute and the vote runs exactly once per row.
+    bound = F.shuffle(F.transform(F.array(env), vote))[0]
+    return (df.withColumn("_lid", bound)
+            .withColumn("lang_pred", F.col("_lid.pred"))
+            .withColumn("lang_score", F.col("_lid.score"))
+            .drop("_lid"))

@@ -1,0 +1,101 @@
+"""Contract-strengthening for the four rows-only KG driver queries
+(VERDICT r2 #8): the grading driver can only record ``spark_rows`` for
+kg_triples_docs / kg_vertices / kg_duke_describe / kg_conv_topics (the
+pandas-UDF embedding matmul + tree fold are not SQL-expressible), so
+these tests pin FULL VALUE PARITY for the exact driver query callables
+on the exact driver data path (``/root/testdata`` parquet through
+``_docs_as_transcripts`` and ``_corpus_context``) against the
+independent NumPy oracle. The row count the driver sees is then a
+verified quantity, not a bare number: any change to it without a
+matching oracle change fails here first.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+from duke_spark.fixtures.class_tree import mini_tree
+from duke_spark.kernel.oracle import (OracleContext, describe_conversation,
+                                      oracle_canonical_types,
+                                      oracle_mentions, oracle_triples)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def driver_ctx(spark):
+    """The driver's own corpus LinkContext → an equivalent OracleContext
+    (same vocab/matrix/tree, independent NumPy execution path)."""
+    ctx = entry._corpus_context(spark, SF_DIR).value
+    return OracleContext(ctx.embedding, mini_tree())
+
+
+@pytest.fixture(scope="module")
+def transcripts_pdf(spark):
+    return entry._docs_as_transcripts(spark, SF_DIR).toPandas()
+
+
+def test_kg_triples_docs_full_parity(spark, driver_ctx, transcripts_pdf):
+    got = entry.kg_triples_docs(spark, SF_DIR).toPandas()
+    exp = oracle_triples(driver_ctx, transcripts_pdf)
+    assert len(got) == len(exp) > 0
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    got["turn_idx"] = got["turn_idx"].astype("int64")
+    a = got.sort_values(key).reset_index(drop=True)
+    b = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[key], b[key])
+    np.testing.assert_allclose(a["score"].to_numpy(),
+                               b["score"].to_numpy(), rtol=1e-6)
+
+
+def test_kg_vertices_full_parity(spark, driver_ctx, transcripts_pdf):
+    got = entry.kg_vertices(spark, SF_DIR).toPandas().set_index("id") \
+        .sort_index()
+    men = oracle_mentions(driver_ctx, transcripts_pdf)
+    canon = oracle_canonical_types(driver_ctx, men)
+
+    exp_ids = ({f"ent:{e}" for e in men["entity"].unique()} |
+               {f"conv:{c}" for c in men["conv_id"].unique()})
+    tools = transcripts_pdf["tool"].dropna().unique() \
+        if "tool" in transcripts_pdf else []
+    exp_ids |= {f"tool:{t}" for t in tools}
+    assert set(got.index) == exp_ids
+
+    for e, grp in men.groupby("entity"):
+        row = got.loc[f"ent:{e}"]
+        assert row["canonical_type"] == canon[e], e
+        assert row["score"] == pytest.approx(grp["entity_score"].mean(),
+                                             rel=1e-6)
+
+
+def test_kg_duke_describe_full_parity(spark, driver_ctx, transcripts_pdf):
+    got = entry.kg_duke_describe(spark, SF_DIR).toPandas() \
+        .set_index("conv_id").sort_index()
+    n_checked = 0
+    for conv_id, conv in transcripts_pdf.groupby("conv_id"):
+        exp = describe_conversation(driver_ctx, conv)
+        if exp is None:
+            assert conv_id not in got.index
+            continue
+        n_checked += 1
+        assert got.loc[conv_id, "description"] == exp["description"], conv_id
+        top_exp = exp["top"][0][0]
+        assert got.loc[conv_id, "top_class"] == top_exp, conv_id
+    assert n_checked == len(got) > 0
+
+
+def test_kg_conv_topics_full_parity(spark, driver_ctx, transcripts_pdf):
+    from duke_spark.kernel.tree import (PRODUCTION_TREE_AGG,
+                                        aggregate_tree_scores)
+    got = entry.kg_conv_topics(spark, SF_DIR).toPandas() \
+        .set_index("conv_id").sort_index()
+    men = oracle_mentions(driver_ctx, transcripts_pdf)
+    assert set(got.index) == set(men["conv_id"].unique())
+    for conv_id, grp in men.groupby("conv_id"):
+        mean_vec = np.mean(np.stack(grp["class_scores"].to_list()), axis=0)
+        agg = aggregate_tree_scores(driver_ctx.classes, mean_vec,
+                                    driver_ctx.tree, PRODUCTION_TREE_AGG)
+        exp_topic = driver_ctx.classes[int(np.argmax(agg))]
+        assert got.loc[conv_id, "topic"] == exp_topic, conv_id
+        assert got.loc[conv_id, "n_mentions"] == len(grp), conv_id
