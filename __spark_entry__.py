@@ -286,6 +286,33 @@ def session_stats_events(spark, sf_dir):
                     "span_us")
 
 
+def asof_join_events(spark, sf_dir):
+    """As-of join (the classic time-series operator Spark's API lacks —
+    pandas merge_asof / DuckDB ASOF JOIN): each purchase event picks up
+    the user's most recent click at-or-before it. One hash-partition
+    exchange + window, NO join node (``operators/asof.py``; plan
+    asserted in tests/test_asof.py). Clicks deduped to one row per
+    (user, ts) for asof determinism — mirrored in the oracle. Timestamps
+    emitted as epoch µs BIGINT on both engines."""
+    from duke_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("purchase_id"),
+                         F.round("value", 6).alias("amount")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id")))
+    out = asof_join(purchases, clicks, on="ts", by=["user_id"])
+    return out.select(
+        "user_id", "purchase_id",
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        .alias("purchase_ts_us"),
+        "amount", "click_id",
+        F.unix_micros(F.col("ts_matched").cast("timestamp"))
+        .alias("click_ts_us"))
+
+
 def dedup_exact_docs(spark, sf_dir):
     from duke_spark.operators.dedup import exact_dedup
     return (exact_dedup(_t(spark, sf_dir, "documents"))
@@ -434,6 +461,58 @@ def q17_json_props(spark, sf_dir):
                  F.sum("k").alias("sum_k"),
                  F.min("k").alias("min_k"),
                  F.max("k").alias("max_k")))
+
+
+def q18_above_nation_avg(spark, sf_dir):
+    """Correlated-aggregate filter (the TPC-H Q17/Q22 shape): customers
+    whose balance exceeds their nation's average, rolled up per nation.
+    Decorrelated Spark-side into one aggregate + a broadcastable join —
+    the plan Catalyst produces for the correlated-subquery SQL too.
+    Money policy: averages compared in integer cents."""
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+    nat_avg = (cust.groupBy("c_nationkey")
+               .agg((cents / F.count(F.lit(1))).alias("avg_cents")))
+    return (cust
+            .withColumn("bal_cents",
+                        F.round(F.col("c_acctbal") * 100).cast("long"))
+            .join(F.broadcast(nat_avg), "c_nationkey")
+            .filter(F.col("bal_cents") > F.col("avg_cents"))
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_above"),
+                 (F.sum("bal_cents") / F.lit(100.0)).alias("sum_bal")))
+
+
+def q19_topn_per_group(spark, sf_dir):
+    """Window rank top-N (every analytics engine's bread and butter):
+    top-3 orders by total price per order priority, deterministic
+    tie-break on o_orderkey. Cents-integer ordering on both engines."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.desc("price_cents"), F.asc("o_orderkey")))
+    return (orders.withColumn("price_cents", cents)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_orderpriority", "rn", "o_orderkey",
+                    (F.col("price_cents") / F.lit(100.0))
+                    .alias("total_price")))
+
+
+def q20_exists_rollup(spark, sf_dir):
+    """EXISTS semi-join + rollup: suppliers with at least one high-
+    quantity lineitem (l_quantity > 45), counted per nation. LEFT SEMI
+    join keeps the plan shuffle-light; the oracle spells it as EXISTS."""
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    hot = (li.filter(F.col("l_quantity") > 45)
+           .select("l_suppkey").distinct())
+    return (sup.join(hot, sup.s_suppkey == hot.l_suppkey, "left_semi")
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 (F.sum(F.round(F.col("s_acctbal") * 100).cast("long"))
+                  / F.lit(100.0)).alias("sum_bal")))
 
 
 def q14_running_total(spark, sf_dir):
@@ -671,7 +750,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_monthly_rollup": q15_monthly_rollup,
         "q16_pivot_segments": q16_pivot_segments,
         "q17_json_props": q17_json_props,
+        "q18_above_nation_avg": q18_above_nation_avg,
+        "q19_topn_per_group": q19_topn_per_group,
+        "q20_exists_rollup": q20_exists_rollup,
         "session_stats_events": session_stats_events,
+        "asof_join_events": asof_join_events,
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_sig_docs": minhash_sig_docs,
         "jaccard_pairs_docs": jaccard_pairs_docs,
@@ -874,6 +957,22 @@ def oracle_sql() -> dict[str, str]:
                    MAX(us) - MIN(us) AS span_us
             FROM s GROUP BY user_id, session_idx
         """,
+        "asof_join_events": """
+            WITH purchases AS (
+                SELECT user_id, ts, event_id AS purchase_id,
+                       ROUND(value, 6) AS amount
+                FROM events WHERE event_type = 'purchase'
+            ), clicks AS (
+                SELECT user_id, ts, MAX(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            )
+            SELECT p.user_id, p.purchase_id,
+                   epoch_us(p.ts) AS purchase_ts_us, p.amount,
+                   c.click_id, epoch_us(c.ts) AS click_ts_us
+            FROM purchases p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
         "q11_rollup_sets": """
             SELECT l_returnflag, l_linestatus,
                    SUM(CAST(round(l_quantity*100) AS BIGINT)) / 100.0
@@ -904,6 +1003,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(k) AS BIGINT) AS sum_k,
                    MIN(k) AS min_k, MAX(k) AS max_k
             FROM e WHERE k IS NOT NULL GROUP BY event_type
+        """,
+        "q18_above_nation_avg": """
+            WITH c AS (SELECT c_nationkey,
+                              CAST(round(c_acctbal*100) AS BIGINT)
+                                  AS bal_cents
+                       FROM customer),
+                 a AS (SELECT c_nationkey,
+                              SUM(bal_cents) * 1.0 / COUNT(*) AS avg_cents
+                       FROM c GROUP BY c_nationkey)
+            SELECT c.c_nationkey, COUNT(*) AS n_above,
+                   SUM(c.bal_cents) / 100.0 AS sum_bal
+            FROM c JOIN a ON c.c_nationkey = a.c_nationkey
+            WHERE c.bal_cents > a.avg_cents
+            GROUP BY c.c_nationkey
+        """,
+        "q19_topn_per_group": """
+            WITH r AS (SELECT o_orderpriority, o_orderkey,
+                              CAST(round(o_totalprice*100) AS BIGINT)
+                                  AS price_cents,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY o_orderpriority
+                                  ORDER BY CAST(round(o_totalprice*100)
+                                               AS BIGINT) DESC,
+                                           o_orderkey ASC) AS rn
+                       FROM orders)
+            SELECT o_orderpriority, rn, o_orderkey,
+                   price_cents / 100.0 AS total_price
+            FROM r WHERE rn <= 3
+        """,
+        "q20_exists_rollup": """
+            SELECT s_nationkey, COUNT(*) AS n_suppliers,
+                   SUM(CAST(round(s_acctbal*100) AS BIGINT)) / 100.0
+                       AS sum_bal
+            FROM supplier s
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_suppkey = s.s_suppkey
+                            AND l.l_quantity > 45)
+            GROUP BY s_nationkey
         """,
         "q14_running_total": """
             SELECT o_custkey, o_orderkey,

@@ -1,0 +1,109 @@
+"""As-of join (operators/asof.py): pandas merge_asof parity across
+directions/tolerance/groups, inclusive-tie semantics, single-shuffle
+plan shape."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from duke_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "ts": rng.integers(0, 1000, 200).astype("int64"),
+        "lv": np.arange(200, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 80),
+        "ts": rng.integers(0, 1000, 80).astype("int64"),
+        "rv": np.arange(1000, 1080, dtype="int64"),
+    }).drop_duplicates(["k", "ts"])          # asof determinism requirement
+    return left, right
+
+
+def _pandas_asof(left, right, direction, tolerance=None):
+    out = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable").rename(
+            columns={"ts": "ts_matched"}),
+        left_on="ts", right_on="ts_matched", by="k",
+        direction=direction, tolerance=tolerance)
+    return out.sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_matches_pandas_merge_asof(spark, frames, direction):
+    left, right = frames
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right),
+                     on="ts", by=["k"], direction=direction)
+           .toPandas().sort_values(["k", "ts", "lv"]).reset_index(drop=True))
+    exp = _pandas_asof(left, right, direction)
+    for col in ("rv", "ts_matched"):
+        pd.testing.assert_series_equal(
+            got[col].astype("float64"), exp[col].astype("float64"),
+            check_names=False)
+
+
+def test_tolerance_nulls_far_matches(spark, frames):
+    left, right = frames
+    got = (asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right),
+                     on="ts", by=["k"], tolerance=50)
+           .toPandas().sort_values(["k", "ts", "lv"]).reset_index(drop=True))
+    exp = _pandas_asof(left, right, "backward", tolerance=50)
+    pd.testing.assert_series_equal(got["rv"].astype("float64"),
+                                   exp["rv"].astype("float64"),
+                                   check_names=False)
+    # tolerance must strictly reduce (or keep) the match count
+    full = asof_join(spark.createDataFrame(left),
+                     spark.createDataFrame(right), on="ts", by=["k"])
+    assert (got["rv"].notna().sum()
+            < full.toPandas()["rv"].notna().sum())
+
+
+def test_equal_ts_is_inclusive(spark):
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "ts": [100], "lv": [1]}))
+    right = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "ts": [100], "rv": [7]}))
+    got = asof_join(left, right, on="ts", by=["k"]).toPandas()
+    assert got.loc[0, "rv"] == 7            # right row at SAME ts matches
+    fwd = asof_join(left, right, on="ts", by=["k"],
+                    direction="forward").toPandas()
+    assert fwd.loc[0, "rv"] == 7
+
+
+def test_timestamp_on_column_and_overlap_error(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": pd.to_datetime(
+            ["2026-01-01 00:00:05", "2026-01-01 00:00:01"]),
+            "lv": [1, 2]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": pd.to_datetime(
+            ["2026-01-01 00:00:03"]), "rv": [9]}))
+    got = (asof_join(left, right, on="ts", by=["k"])
+           .toPandas().set_index("lv"))
+    assert got.loc[1, "rv"] == 9 and pd.isna(got.loc[2, "rv"])
+    # 1-second tolerance (µs units for timestamps) nulls the 2 s gap
+    tol = (asof_join(left, right, on="ts", by=["k"], tolerance=1_000_000)
+           .toPandas().set_index("lv"))
+    assert pd.isna(tol.loc[1, "rv"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, left.withColumnRenamed("k", "k2"), on="ts")
+
+
+def test_single_shuffle_plan(spark, frames):
+    left, right = frames
+    out = asof_join(spark.createDataFrame(left),
+                    spark.createDataFrame(right), on="ts", by=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one hash-partition exchange for the window (the union's two inputs
+    # share it), and no join node at all — the asof is window-only
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
