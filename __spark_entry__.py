@@ -313,6 +313,31 @@ def asof_join_events(spark, sf_dir):
         .alias("click_ts_us"))
 
 
+def range_join_events(spark, sf_dir):
+    """Range (interval) join — attribution shape: EVERY click within 24 h
+    before a purchase, same user. Bucketized equi-join (no
+    BroadcastNestedLoop — ``operators/range_join.py``, plan asserted in
+    tests/test_range_join.py); DuckDB runs the same BETWEEN join via its
+    IEJoin."""
+    from duke_spark.operators.range_join import range_join
+    ev = _t(spark, sf_dir, "events")
+    day_us = 86_400_000_000
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.col("event_id").alias("purchase_id")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.col("event_id").alias("click_id")))
+    out = range_join(purchases, clicks, on="ts", by=["user_id"],
+                     lower=-day_us, upper=0)
+    return out.select(
+        "user_id", "purchase_id", "click_id",
+        F.unix_micros(F.col("ts_l").cast("timestamp"))
+        .alias("purchase_ts_us"),
+        F.unix_micros(F.col("ts_r").cast("timestamp"))
+        .alias("click_ts_us"))
+
+
 def dedup_exact_docs(spark, sf_dir):
     from duke_spark.operators.dedup import exact_dedup
     return (exact_dedup(_t(spark, sf_dir, "documents"))
@@ -755,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_exists_rollup": q20_exists_rollup,
         "session_stats_events": session_stats_events,
         "asof_join_events": asof_join_events,
+        "range_join_events": range_join_events,
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_sig_docs": minhash_sig_docs,
         "jaccard_pairs_docs": jaccard_pairs_docs,
@@ -972,6 +998,16 @@ def oracle_sql() -> dict[str, str]:
                    c.click_id, epoch_us(c.ts) AS click_ts_us
             FROM purchases p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join_events": """
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   c.event_id AS click_id,
+                   epoch_us(p.ts) AS purchase_ts_us,
+                   epoch_us(c.ts) AS click_ts_us
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         """,
         "q11_rollup_sets": """
             SELECT l_returnflag, l_linestatus,
