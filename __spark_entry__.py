@@ -338,6 +338,45 @@ def range_join_events(spark, sf_dir):
         .alias("click_ts_us"))
 
 
+def chunk_docs(spark, sf_dir):
+    """Pre-tokenization chunking (128-word windows, 16-word overlap) —
+    pure Catalyst slice/explode, row growth ceil(n/112) per doc
+    (``operators/corpus_prep.py``)."""
+    from duke_spark.operators.corpus_prep import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"),
+                           chunk_words=128, overlap=16)
+
+
+def scrub_pii_docs(spark, sf_dir):
+    """PII scrubbing over documents with deterministic injected PII (the
+    synthetic corpus has none, so both engines append the same
+    doc_id-derived email/IP/phone/SSN spans before scrubbing — the
+    regexes are exercised on every row). Patterns are lookaround-free so
+    Java regex (Spark) and RE2 (DuckDB) replay them identically."""
+    from duke_spark.operators.corpus_prep import scrub_pii
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.1."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 call +1 (555) 010-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                   4, "0"),
+            F.lit(" id 123-45-6789")).alias("text"))
+    return scrub_pii(seeded).select("doc_id", "scrubbed_text")
+
+
+def repetition_docs(spark, sf_dir):
+    """Duplicate-trigram repetition scores (Gopher-style quality signal)
+    per document — per-row array work, 6dp float policy."""
+    from duke_spark.operators.corpus_prep import repetition_scores
+    return (repetition_scores(_t(spark, sf_dir, "documents"))
+            .select("doc_id", "n_ngrams", "rep_ratio"))
+
+
 def dedup_exact_docs(spark, sf_dir):
     from duke_spark.operators.dedup import exact_dedup
     return (exact_dedup(_t(spark, sf_dir, "documents"))
@@ -781,6 +820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats_events": session_stats_events,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
+        "chunk_docs": chunk_docs,
+        "scrub_pii_docs": scrub_pii_docs,
+        "repetition_docs": repetition_docs,
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_sig_docs": minhash_sig_docs,
         "jaccard_pairs_docs": jaccard_pairs_docs,
@@ -1008,6 +1050,65 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = c.user_id
              AND c.ts BETWEEN p.ts - INTERVAL 24 HOUR AND p.ts
             WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        """,
+        "chunk_docs": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+                 c AS (SELECT doc_id, ws,
+                              GREATEST(CAST(CEIL((len(ws) - 16) / 112.0)
+                                            AS BIGINT), 1) AS nc
+                       FROM w),
+                 e AS (SELECT doc_id, ws,
+                              unnest(range(0, nc)) AS i
+                       FROM c)
+            SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                   array_to_string(list_slice(ws, i*112 + 1, i*112 + 128),
+                                   ' ') AS chunk_text,
+                   CAST(len(list_slice(ws, i*112 + 1, i*112 + 128))
+                        AS INT) AS n_words
+            FROM e
+        """,
+        "scrub_pii_docs": """
+            WITH seeded AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.1.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7 call +1 (555) 010-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' id 123-45-6789' AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                           '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+                           '<IP>', 'g'),
+                           '\\+[0-9][0-9 ().-]{6,}[0-9]',
+                           '<PHONE>', 'g'),
+                           '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b',
+                           '<SSN>', 'g') AS scrubbed_text
+            FROM seeded
+        """,
+        "repetition_docs": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+                 g AS (SELECT doc_id, len(ws) AS n,
+                              CASE WHEN len(ws) >= 3
+                                   THEN list_transform(
+                                       range(1, len(ws) - 1),
+                                       i -> ws[i] || ' ' || ws[i+1]
+                                            || ' ' || ws[i+2])
+                                   ELSE [] END AS grams
+                       FROM w)
+            SELECT doc_id,
+                   CAST(GREATEST(n - 2, 0) AS INT) AS n_ngrams,
+                   CASE WHEN n >= 3
+                        THEN ROUND(1.0 - len(list_distinct(grams)) * 1.0
+                                   / (n - 2), 6)
+                        ELSE 0.0 END AS rep_ratio
+            FROM g
         """,
         "q11_rollup_sets": """
             SELECT l_returnflag, l_linestatus,
