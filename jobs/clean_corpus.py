@@ -42,6 +42,15 @@ def main() -> None:
                          "quantile (e.g. 0.99 — outlier/garbage cap via "
                          "the one-pass approx_percentile sketch)")
     ap.add_argument("--langs", default="en,de,fr,es")
+    ap.add_argument("--max-rep", type=float, default=None,
+                    help="drop docs whose duplicate-trigram fraction "
+                         "exceeds this (Gopher-style repetition filter)")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="mask emails/IPs/phones/SSN-shaped spans in the "
+                         "output text")
+    ap.add_argument("--chunk-words", type=int, default=None,
+                    help="also emit <out>/chunks parquet: fixed word "
+                         "windows of this size (overlap 1/8th)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -98,7 +107,30 @@ def main() -> None:
         docs = docs.filter(n_words <= len_cap)
     n5 = docs.count()
 
+    # 6. optional repetition filter (duplicate-trigram fraction)
+    n6 = n5
+    if args.max_rep is not None:
+        from duke_spark.operators.corpus_prep import repetition_scores
+        docs = (repetition_scores(docs)
+                .filter(F.col("rep_ratio") <= args.max_rep)
+                .drop("n_ngrams", "rep_ratio"))
+        n6 = docs.count()
+
+    # 7. optional PII scrub (masks in place, keeps schema)
+    if args.scrub_pii:
+        from duke_spark.operators.corpus_prep import scrub_pii
+        docs = (scrub_pii(docs).drop("text")
+                .withColumnRenamed("scrubbed_text", "text"))
+
     docs.write.mode("overwrite").parquet(os.path.join(args.out, "clean"))
+
+    # 8. optional chunk emission for the tokenizer stage
+    if args.chunk_words:
+        from duke_spark.operators.corpus_prep import chunk_documents
+        chunk_documents(docs, chunk_words=args.chunk_words,
+                        overlap=max(args.chunk_words // 8, 1)) \
+            .write.mode("overwrite") \
+            .parquet(os.path.join(args.out, "chunks"))
     stats = {
         "job": "clean_corpus", "input": args.input,
         "rows_in": int(n0),
@@ -107,8 +139,10 @@ def main() -> None:
         "after_quality": int(n3),
         "after_language": int(n4),
         "after_length_cap": int(n5),
+        "after_repetition": int(n6),
         "length_cap_words": len_cap,
-        "kept_frac": round(n5 / n0, 4) if n0 else None,
+        "pii_scrubbed": bool(args.scrub_pii),
+        "kept_frac": round(n6 / n0, 4) if n0 else None,
         "elapsed_sec": round(time.time() - t0, 2),
     }
     os.makedirs(args.out, exist_ok=True)
