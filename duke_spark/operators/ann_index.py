@@ -130,7 +130,11 @@ def query_lsh_index(spark: SparkSession, path: str,
     unprobed directories are never read."""
     meta = _read_meta(path)
     probes = _lsh_probe_buckets(qvec, meta, hamming)
-    idx = open_index(spark, path).filter(F.col("bucket").isin(probes))
+    idx = (open_index(spark, path)
+           .filter(F.col("bucket").isin(probes))
+           # streaming appends are at-least-once (replays re-append the
+           # same rows); dedup on the probed subset keeps top-k exact
+           .dropDuplicates([meta["id_col"]]))
     return cosine_topk(idx, qvec, k, meta["vec_col"], meta["id_col"])
 
 
@@ -143,5 +147,7 @@ def query_ivf_index(spark: SparkSession, path: str,
     qn = np.linalg.norm(q)
     qu = q / qn if qn else q
     probe = np.argsort(-(cents @ qu), kind="stable")[:n_probe].tolist()
-    idx = open_index(spark, path).filter(F.col("cluster").isin(probe))
+    idx = (open_index(spark, path)
+           .filter(F.col("cluster").isin(probe))
+           .dropDuplicates([meta["id_col"]]))
     return cosine_topk(idx, qvec, k, meta["vec_col"], meta["id_col"])

@@ -109,3 +109,45 @@ def test_ivf_partial_probe_prunes_and_recalls(spark, emb, emb_pdf,
     assert any("cluster" in ln and "IN" in ln for ln in pf_lines), plan
     got = set(res.toPandas()["vec_id"])
     assert {20, 21} <= got  # query's own cluster holds the planted twin
+
+
+def test_streaming_append_matches_batch_build(spark, emb_pdf, tmp_path,
+                                              emb):
+    """Incremental ingest (streaming/ann_stream.py): build from the first
+    half, stream the second half in two micro-batches (one replayed),
+    then query — results must equal a batch index built over the full
+    corpus, and the replayed epoch must not distort top-k."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from duke_spark.streaming.ann_stream import StreamingAnnIndexWriter
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+
+    def sdf(pdf: pd.DataFrame):
+        return spark.createDataFrame(pdf.reset_index(drop=True), schema)
+
+    inc_path = str(tmp_path / "inc")
+    build_lsh_index(sdf(emb_pdf.iloc[:150]), inc_path, dim=DIM,
+                    num_planes=5, seed=7)
+    writer = StreamingAnnIndexWriter(inc_path)
+    writer.process(sdf(emb_pdf.iloc[150:220]), epoch_id=0)
+    writer.process(sdf(emb_pdf.iloc[220:]), epoch_id=1)
+    writer.process(sdf(emb_pdf.iloc[220:]), epoch_id=1)   # epoch REPLAY
+
+    full_path = str(tmp_path / "full")
+    build_lsh_index(emb, full_path, dim=DIM, num_planes=5, seed=7)
+
+    q = emb_pdf.iloc[20]["embedding"]
+    got = query_lsh_index(spark, inc_path, q, k=8, hamming=1).toPandas()
+    exp = query_lsh_index(spark, full_path, q, k=8, hamming=1).toPandas()
+    assert list(got["vec_id"]) == list(exp["vec_id"])
+    assert len(got) == len(set(got["vec_id"]))            # replay deduped
+    # compaction folds the duplicates away and preserves results
+    n = writer.compact(spark)
+    assert n == N
+    after = query_lsh_index(spark, inc_path, q, k=8, hamming=1).toPandas()
+    assert list(after["vec_id"]) == list(exp["vec_id"])
