@@ -51,6 +51,11 @@ def main() -> None:
     ap.add_argument("--chunk-words", type=int, default=None,
                     help="also emit <out>/chunks parquet: fixed word "
                          "windows of this size (overlap 1/8th)")
+    ap.add_argument("--bpe-merges", type=int, default=None,
+                    help="train a real BPE merge table of this size on "
+                         "the survivors and emit <out>/token_counts "
+                         "parquet + bpe_merges.json (token-budget "
+                         "accounting)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -131,6 +136,22 @@ def main() -> None:
                         overlap=max(args.chunk_words // 8, 1)) \
             .write.mode("overwrite") \
             .parquet(os.path.join(args.out, "chunks"))
+
+    # 9. optional real-BPE token accounting (train on the word-frequency
+    # table — one agg — then per-doc counts)
+    n_bpe = None
+    if args.bpe_merges:
+        from duke_spark.operators.bpe import apply_bpe, save_merges, \
+            train_bpe
+        merges = train_bpe(docs, num_merges=args.bpe_merges)
+        os.makedirs(args.out, exist_ok=True)
+        save_merges(merges, os.path.join(args.out, "bpe_merges.json"))
+        counts = apply_bpe(docs, merges)
+        counts.write.mode("overwrite") \
+            .parquet(os.path.join(args.out, "token_counts"))
+        row = spark.read.parquet(os.path.join(args.out, "token_counts")) \
+            .agg(F.sum("n_bpe_tokens")).collect()[0][0]
+        n_bpe = int(row or 0)
     stats = {
         "job": "clean_corpus", "input": args.input,
         "rows_in": int(n0),
@@ -142,6 +163,7 @@ def main() -> None:
         "after_repetition": int(n6),
         "length_cap_words": len_cap,
         "pii_scrubbed": bool(args.scrub_pii),
+        "bpe_total_tokens": n_bpe,
         "kept_frac": round(n6 / n0, 4) if n0 else None,
         "elapsed_sec": round(time.time() - t0, 2),
     }
