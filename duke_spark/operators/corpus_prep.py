@@ -32,14 +32,22 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
                          f"({chunk_words})")
     step = chunk_words - overlap
     ws = F.split(F.col(text_col), " ")
-    n = F.size(ws)
-    n_chunks = F.greatest(
-        F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int"), F.lit(1))
-    pairs = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("int").alias("chunk_idx"),
-            F.slice(ws, i * step + 1, chunk_words).alias("cw")))
+
+    # let-bind the word array: a lambda body referencing a non-lambda
+    # subexpression re-evaluates it per element (here: re-splitting the
+    # whole text once per chunk) — see lang_id.py for the jstack evidence
+    def chunks_of(w):
+        n = F.size(w)
+        n_chunks = F.greatest(
+            F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int"),
+            F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.slice(w, i * step + 1, chunk_words).alias("cw")))
+
+    pairs = F.flatten(F.transform(F.array(ws), chunks_of))
     return (df
             .select(id_col, F.explode(pairs).alias("c"))
             .select(id_col,
@@ -97,10 +105,18 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
     ws = F.split(F.col(text_col), " ")
     n = F.size(ws)
     n_grams = n - F.lit(ngram - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(ws, i + j) for j in range(ngram)]))
+
+    # let-bind ws: referencing the split() result inside the per-position
+    # lambda would re-split the WHOLE text once per n-gram — O(n²) chars
+    # per row (see lang_id.py for the per-element-recompute evidence)
+    def grams_of(w):
+        ng = F.size(w) - F.lit(ngram - 1)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(ng, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(ngram)]))
+
+    grams = F.transform(F.array(ws), grams_of)[0]
     ratio = F.when(
         n_grams >= 1,
         F.round(F.lit(1.0) -

@@ -273,23 +273,47 @@ def detect_language(df: DataFrame, text_col: str = "text",
     words = F.split(clean, " ")
     padded = F.concat(
         F.lit(" "), F.substring(clean, 1, gram_prefix_len), F.lit(" "))
-    n_grams = F.length(padded) - F.lit(2)
-    grams = F.when(
-        n_grams >= 1,
-        F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
-                    lambda i: padded.substr(i, F.lit(3)))
-    ).otherwise(F.array().cast("array<string>"))
+
+    # padded is LET-BOUND before the per-position lambda: a lambda body
+    # that references a non-lambda-variable subexpression re-evaluates it
+    # PER ARRAY ELEMENT in Spark's eval paths (confirmed by jstack: the
+    # trim/regex chain was the hot frame inside the substr loop — ~400
+    # re-evaluations of two regex passes per row). Binding it through a
+    # one-element transform makes the inner lambda see a lambda variable,
+    # which is evaluated exactly once.
+    def grams_of(p):
+        n_grams = F.length(p) - F.lit(2)
+        return F.when(
+            n_grams >= 1,
+            F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                        lambda i: p.substr(i, F.lit(3)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.transform(F.array(padded), grams_of)[0]
 
     # the let-bound environment: everything downstream references only
-    # the lambda variable `s`, so each field is evaluated exactly once
+    # the lambda variable `s`, so each field is evaluated exactly once.
+    # Cost engineering for the env itself: Java's \p{IsXxx} predicates do
+    # a per-char Unicode-script binary search (jstack-confirmed hot), so
+    # (a) the three family GATES are early-exit `rlike` presence tests,
+    # not counts, and (b) the 17 script-language counts are CASE-gated
+    # behind one cheap non-ASCII pre-test — a pure-ASCII prefix (the
+    # common case in web corpora) short-circuits past every
+    # Unicode-script regex.
+    non_ascii = sraw.rlike(r"[^\x00-\xff]")
     env_fields = [words.alias("w"), F.array_distinct(grams).alias("g"),
                   letters.cast("double").alias("lt")]
     for fam, cls in _FAMILY_CLS.items():
-        env_fields.append(_script_count(sraw, cls).alias(f"f_{fam}"))
+        env_fields.append(sraw.rlike(f"[{cls}]").alias(f"f_{fam}"))
+
+    def gated_count(cls):
+        return (F.when(non_ascii, _script_count(sraw, cls))
+                .otherwise(F.lit(0)))
+
     for lang, cls in SCRIPT_LANGS.items():
-        env_fields.append(_script_count(sraw, cls).alias(f"s_{lang}"))
-    env_fields.append(_script_count(sraw, _KANA).alias("kana"))
-    env_fields.append(_script_count(sraw, _HAN).alias("han"))
+        env_fields.append(gated_count(cls).alias(f"s_{lang}"))
+    env_fields.append(gated_count(_KANA).alias("kana"))
+    env_fields.append(gated_count(_HAN).alias("han"))
     env = F.struct(*env_fields)
 
     def vote(s):
@@ -305,7 +329,7 @@ def detect_language(df: DataFrame, text_col: str = "text",
                 s["g"], F.array(*[F.lit(g) for g in prof]))) / n_g
             score = (F.lit(STOP_WEIGHT) * stop_ratio +
                      F.lit(GRAM_WEIGHT) * gram_ratio)
-            gated = (F.when(s[f"f_{_WORDED_FAMILY[lang]}"] > 0, score)
+            gated = (F.when(s[f"f_{_WORDED_FAMILY[lang]}"], score)
                      .otherwise(F.lit(0.0)))
             structs.append(F.struct(gated.alias("score"),
                                     F.lit(lang).alias("lang")))
