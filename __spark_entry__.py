@@ -313,6 +313,29 @@ def asof_join_events(spark, sf_dir):
         .alias("click_ts_us"))
 
 
+def asof_forward_events(spark, sf_dir):
+    """Forward as-of join: each signup picks up the user's EARLIEST click
+    at-or-after it (time-to-first-action). Same window-only plan as the
+    backward mode, mirrored; oracle = DuckDB ASOF LEFT JOIN with
+    ``p.ts <= c.ts``."""
+    from duke_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .select("user_id", "ts",
+                       F.col("event_id").alias("signup_id")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.min("event_id").alias("click_id")))
+    out = asof_join(signups, clicks, on="ts", by=["user_id"],
+                    direction="forward")
+    return out.select(
+        "user_id", "signup_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("signup_ts_us"),
+        "click_id",
+        F.unix_micros(F.col("ts_matched").cast("timestamp"))
+        .alias("click_ts_us"))
+
+
 def range_join_events(spark, sf_dir):
     """Range (interval) join — attribution shape: EVERY click within 24 h
     before a purchase, same user. Bucketized equi-join (no
@@ -819,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_exists_rollup": q20_exists_rollup,
         "session_stats_events": session_stats_events,
         "asof_join_events": asof_join_events,
+        "asof_forward_events": asof_forward_events,
         "range_join_events": range_join_events,
         "chunk_docs": chunk_docs,
         "scrub_pii_docs": scrub_pii_docs,
@@ -1040,6 +1064,21 @@ def oracle_sql() -> dict[str, str]:
                    c.click_id, epoch_us(c.ts) AS click_ts_us
             FROM purchases p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "asof_forward_events": """
+            WITH signups AS (
+                SELECT user_id, ts, event_id AS signup_id
+                FROM events WHERE event_type = 'signup'
+            ), clicks AS (
+                SELECT user_id, ts, MIN(event_id) AS click_id
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            )
+            SELECT p.user_id, p.signup_id,
+                   epoch_us(p.ts) AS signup_ts_us,
+                   c.click_id, epoch_us(c.ts) AS click_ts_us
+            FROM signups p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts <= c.ts
         """,
         "range_join_events": """
             SELECT p.user_id, p.event_id AS purchase_id,
