@@ -107,3 +107,36 @@ def test_single_shuffle_plan(spark, frames):
     # share it), and no join node at all — the asof is window-only
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_property_random_frames_match_pandas(spark):
+    """Hypothesis-style randomized sweep (seeded, no flake): many small
+    random frames across directions — Spark asof == pandas merge_asof."""
+    rng = np.random.default_rng(99)
+    for trial in range(6):
+        nl, nr = rng.integers(1, 40, 2)
+        left = pd.DataFrame({
+            "k": rng.integers(0, 3, nl),
+            "ts": rng.integers(0, 60, nl).astype("int64"),
+            "lv": np.arange(nl, dtype="int64")})
+        right = pd.DataFrame({
+            "k": rng.integers(0, 3, nr),
+            "ts": rng.integers(0, 60, nr).astype("int64"),
+            "rv": np.arange(100, 100 + nr, dtype="int64")
+        }).drop_duplicates(["k", "ts"])
+        for direction in ("backward", "forward"):
+            got = (asof_join(spark.createDataFrame(left),
+                             spark.createDataFrame(right),
+                             on="ts", by=["k"], direction=direction)
+                   .toPandas().sort_values(["k", "ts", "lv"])
+                   .reset_index(drop=True))
+            exp = pd.merge_asof(
+                left.sort_values("ts", kind="stable"),
+                right.sort_values("ts", kind="stable").rename(
+                    columns={"ts": "ts_matched"}),
+                left_on="ts", right_on="ts_matched", by="k",
+                direction=direction).sort_values(["k", "ts", "lv"]) \
+                .reset_index(drop=True)
+            pd.testing.assert_series_equal(
+                got["rv"].astype("float64"), exp["rv"].astype("float64"),
+                check_names=False), (trial, direction)
