@@ -140,3 +140,12 @@ def test_property_random_frames_match_pandas(spark):
             pd.testing.assert_series_equal(
                 got["rv"].astype("float64"), exp["rv"].astype("float64"),
                 check_names=False), (trial, direction)
+
+
+def test_empty_right_yields_all_null_matches(spark):
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 2], "ts": [5, 6], "lv": [0, 1]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [1], "rv": [9]})).filter("k > 99")
+    got = asof_join(left, right, on="ts", by=["k"]).toPandas()
+    assert len(got) == 2 and got["rv"].isna().all()

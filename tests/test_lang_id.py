@@ -68,3 +68,19 @@ def test_trigram_profile_derivation():
     for prof in TRIGRAM_PROFILES.values():
         assert prof == sorted(set(prof))
         assert all(len(g) == 3 for g in prof)
+
+
+def test_mixed_script_quote_does_not_flip(spark):
+    """A Latin document quoting a few foreign-script characters must stay
+    in its language: script-language scores are count RATIOS (a stray
+    Greek word is a tiny fraction of letters), not presence flags."""
+    df = spark.createDataFrame(pd.DataFrame({"text": [
+        "The philosopher wrote the word λόγος in the margin of the book "
+        "and then continued the argument in plain English for the rest "
+        "of the very long chapter about language and meaning",
+        "Сегодня мы прочитали слово hello в английском тексте, но вся "
+        "статья написана на русском языке и рассказывает о погоде",
+    ]}))
+    got = detect_language(df).toPandas()
+    assert got.loc[0, "lang_pred"] == "en"
+    assert got.loc[1, "lang_pred"] == "ru"

@@ -83,3 +83,13 @@ def test_plan_has_no_nested_loop(spark, frames):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "Join" in plan                   # a real equi hash/sort join
+
+
+def test_empty_sides(spark):
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": [1], "ts": [5], "lid": pd.array([0], dtype="int64")}))
+    empty = left.filter("k > 99")
+    assert range_join(left, empty.withColumnRenamed("lid", "rid"),
+                      on="ts", by=["k"], lower=-5, upper=5).count() == 0
+    assert range_join(empty, left.withColumnRenamed("lid", "rid"),
+                      on="ts", by=["k"], lower=-5, upper=5).count() == 0
