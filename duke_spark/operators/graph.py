@@ -109,6 +109,42 @@ def two_hop_neighbors(edges: DataFrame, max_paths_per_mid: int = 10000
             .agg(F.count(F.lit(1)).alias("n_paths")))
 
 
+def shortest_paths(edges: DataFrame, sources, max_hops: int = 10,
+                   directed: bool = True) -> DataFrame:
+    """(id, distance) — hop distance from the NEAREST of ``sources``
+    (multi-source BFS), unreachable vertices omitted. The standard
+    iterative-frontier shape: per hop, frontier ⋈ edges → candidate
+    neighbors at d+1, anti-join against already-settled vertices,
+    ``localCheckpoint`` to truncate lineage; early-stop on an empty
+    frontier (a count over the just-checkpointed frontier — a narrow
+    scan, not a recompute). O(max_hops) shuffles, frontier-sized — the
+    same bill as any BFS; for diameter-bounded KG neighborhoods
+    ``max_hops`` keeps it finite on pathological graphs."""
+    e = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    if not directed:
+        e = e.union(edges.select(F.col("dst").alias("u"),
+                                 F.col("src").alias("v")))
+    e = e.distinct().persist()
+    spark = edges.sparkSession
+    settled = (spark.createDataFrame([(s,) for s in sources], ["id"])
+               .distinct()
+               .withColumn("distance", F.lit(0)).localCheckpoint())
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nbrs = (frontier.join(e, frontier.id == e.u)
+                .select(F.col("v").alias("id"))
+                .distinct()
+                .join(settled.select("id"), "id", "left_anti")
+                .withColumn("distance", F.lit(hop))
+                .localCheckpoint())
+        if nbrs.isEmpty():
+            break
+        settled = settled.unionByName(nbrs).localCheckpoint()
+        frontier = nbrs
+    e.unpersist()
+    return settled
+
+
 def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
              weight_col: str | None = None) -> DataFrame:
     """(id, rank) by power iteration — the standard iterative-join shape

@@ -105,3 +105,50 @@ def test_pagerank_one_action_per_iteration(spark, edges):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def _bfs_ref(edge_list, sources, directed=True):
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    dist = {s: 0 for s in sources}
+    frontier = list(sources)
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_shortest_paths_matches_bfs(spark, edges):
+    from duke_spark.operators.graph import shortest_paths
+    got = (shortest_paths(edges, ["v3"]).toPandas()
+           .set_index("id")["distance"].to_dict())
+    assert got == _bfs_ref(EDGES, ["v3"])          # v3→v9→v0→{v1,...}
+    assert got["v3"] == 0 and got["v9"] == 1 and got["v0"] == 2
+    # multi-source takes the nearest seed; undirected reaches more
+    multi = (shortest_paths(edges, ["v3", "v2"]).toPandas()
+             .set_index("id")["distance"].to_dict())
+    assert multi == _bfs_ref(EDGES, ["v3", "v2"])
+    undirected = (shortest_paths(edges, ["v3"], directed=False)
+                  .toPandas().set_index("id")["distance"].to_dict())
+    assert undirected == _bfs_ref(EDGES, ["v3"], directed=False)
+
+
+def test_shortest_paths_random_graph(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    edge_list = list({(f"n{a}", f"n{b}") for a, b in
+                      rng.integers(0, 40, (150, 2)) if a != b})
+    df = spark.createDataFrame(pd.DataFrame(edge_list,
+                                            columns=["src", "dst"]))
+    from duke_spark.operators.graph import shortest_paths
+    got = (shortest_paths(df, ["n0", "n1"], max_hops=20).toPandas()
+           .set_index("id")["distance"].to_dict())
+    assert got == _bfs_ref(edge_list, ["n0", "n1"])
