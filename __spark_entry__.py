@@ -777,17 +777,24 @@ def media_meta_docs(spark, sf_dir):
 
 
 def kg_triples_docs(spark, sf_dir):
-    """KG triple extraction (B3-B5) over documents-as-transcripts —
-    non-SQL-expressible (pandas-UDF kernels); rows-only driver check,
-    full parity coverage in pytest."""
+    """KG triple extraction (B3-B5) over documents-as-transcripts.
+
+    Oracle: golden parquet materialized by the Spark-free NumPy oracle
+    (scripts/make_kg_golden.py → fixtures/golden/<sf>/kg_triples.parquet);
+    score rounded to 6 dp on both sides (repo float policy — raw diffs
+    are float32-kernel summation noise ≪ 1e-6)."""
     from duke_spark.operators.triples import extract_triples
     transcripts = _docs_as_transcripts(spark, sf_dir)
-    return extract_triples(transcripts, _corpus_context(spark, sf_dir))
+    triples = extract_triples(transcripts, _corpus_context(spark, sf_dir))
+    return triples.withColumn("score", F.round("score", 6))
 
 
 def kg_vertices(spark, sf_dir):
-    """Graph materialize (B7): entity vertices with canonical types —
-    rows-only check (pandas-UDF + driver tree fold); parity in pytest."""
+    """Graph materialize (B7): entity vertices with canonical types.
+
+    Oracle: golden parquet from the NumPy oracle (make_kg_golden.py);
+    score rounded to 6 dp on both sides (distributed-vs-sequential mean
+    differs only by summation order, ~1e-15)."""
     from duke_spark.operators.canonical import canonical_types_df
     from duke_spark.operators.graph import build_vertices
     from duke_spark.operators.mentions import linked_mentions
@@ -795,7 +802,8 @@ def kg_vertices(spark, sf_dir):
     ctx_bc = _corpus_context(spark, sf_dir)
     mentions = linked_mentions(transcripts, ctx_bc).persist()
     canonical = canonical_types_df(spark, mentions, ctx_bc)
-    return build_vertices(mentions, canonical)
+    return build_vertices(mentions, canonical) \
+        .withColumn("score", F.round("score", 6))
 
 
 def kg_duke_describe(spark, sf_dir):
@@ -1492,7 +1500,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id LIMIT 10
         """,
         # kg_triples_docs / kg_vertices / kg_duke_describe /
-        # kg_conv_topics: non-SQL-expressible (pandas-UDF embedding matmul
-        # + ontology tree fold) — rows-only driver check; P/R=1.0 parity
-        # is enforced in pytest (test_pipeline_parity.py).
+        # kg_conv_topics: the pandas-UDF embedding matmul + ontology tree
+        # fold are not SQL-expressible, so their oracles are GOLDEN PARQUET
+        # tables materialized entirely without Spark by the sequential
+        # NumPy mini-Duke (scripts/make_kg_golden.py; semantics pinned to
+        # the reference in kernel/oracle.py). Appended below per sf dir.
+        **_kg_golden_oracles(),
+    }
+
+
+def _kg_golden_oracles() -> dict[str, str]:
+    """Oracle SQL for the four KG queries: SELECT from the golden parquet
+    written by ``scripts/make_kg_golden.py`` for the active sf dir (the
+    grading driver compares at sf0.01; ``SF_DIR`` overrides for local
+    check_contract runs). Falls back to rows-only (no entry) when no
+    golden exists for the sf, e.g. ad-hoc scale dirs."""
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "duke_spark", "fixtures", "golden",
+                          os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.isdir(golden):
+        return {}
+
+    def rp(name: str) -> str:
+        return f"read_parquet('{os.path.join(golden, name)}.parquet')"
+
+    return {
+        "kg_triples_docs": f"""
+            SELECT subj, pred, obj, conv_id, turn_idx,
+                   ROUND(score, 6) AS score
+            FROM {rp('kg_triples')}
+        """,
+        "kg_vertices": f"""
+            SELECT id, label, kind, canonical_type, ROUND(score, 6) AS score
+            FROM {rp('kg_vertices')}
+        """,
+        "kg_duke_describe": f"""
+            SELECT conv_id, top_class, description, n_sources
+            FROM {rp('kg_duke_describe')}
+        """,
+        "kg_conv_topics": f"""
+            SELECT conv_id, topic, description, n_mentions
+            FROM {rp('kg_conv_topics')}
+        """,
     }

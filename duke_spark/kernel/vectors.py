@@ -70,8 +70,17 @@ def unit_norm_rows(vectors: np.ndarray) -> np.ndarray:
 def score_against_classes(group_vecs: np.ndarray,
                           class_matrix: np.ndarray) -> np.ndarray:
     """Cosine (== dot, both unit-normed) of every group vs every class —
-    the core kernel (``Duke/dataset_descriptor.py:57``) as one BLAS call."""
-    return np.dot(group_vecs.astype(np.float32), class_matrix.T)
+    the core kernel (``Duke/dataset_descriptor.py:57``) as one BLAS call.
+
+    Inputs stay float32 (gather/mean/norm, reference numerics + half the
+    memory traffic) but the matmul ACCUMULATES in float64: float32
+    products are exact in float64, so the result is independent of the
+    sgemm blocking that varies with batch shape (M). That makes scores
+    reproducible across any partitioning/batching to ~1e-16 — required
+    for the 6-dp golden-oracle hash gate — where pure-f32 sgemm drifted
+    ~1e-6 between the per-turn oracle and per-batch Spark paths."""
+    return np.dot(group_vecs.astype(np.float64),
+                  class_matrix.T.astype(np.float64))
 
 
 def top1(scores: np.ndarray) -> np.ndarray:

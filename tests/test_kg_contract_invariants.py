@@ -45,8 +45,12 @@ def test_kg_triples_docs_full_parity(spark, driver_ctx, transcripts_pdf):
     a = got.sort_values(key).reset_index(drop=True)
     b = exp.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[key], b[key])
+    # the driver query rounds score to 6 dp (golden-oracle float policy);
+    # round the raw oracle the same way — f64-accumulated scores agree to
+    # ~1e-16, so the rounded values must be exactly equal
     np.testing.assert_allclose(a["score"].to_numpy(),
-                               b["score"].to_numpy(), rtol=1e-6)
+                               np.round(b["score"].to_numpy(), 6),
+                               rtol=0, atol=0)
 
 
 def test_kg_vertices_full_parity(spark, driver_ctx, transcripts_pdf):
@@ -65,8 +69,9 @@ def test_kg_vertices_full_parity(spark, driver_ctx, transcripts_pdf):
     for e, grp in men.groupby("entity"):
         row = got.loc[f"ent:{e}"]
         assert row["canonical_type"] == canon[e], e
-        assert row["score"] == pytest.approx(grp["entity_score"].mean(),
-                                             rel=1e-6)
+        # query rounds score to 6 dp (golden-oracle float policy)
+        assert row["score"] == pytest.approx(
+            round(grp["entity_score"].mean(), 6), abs=1e-12)
 
 
 def test_kg_duke_describe_full_parity(spark, driver_ctx, transcripts_pdf):
