@@ -9,9 +9,10 @@ Spark-first implementation — the union + ignore-nulls window trick:
        payload columns ride as nulls on left rows and vice versa;
     2. one window per ``by`` key ordered by (on, side) — right rows sort
        BEFORE left rows at equal ``on``, making the match inclusive;
-    3. ``last(col, ignorenulls=True)`` over the unbounded-preceding
-       window carries each right payload forward onto subsequent left
-       rows (``first`` over the following window for ``forward``);
+    3. ``last(struct, ignorenulls=True)`` over the unbounded-preceding
+       window carries the latest right ROW (payload packed in one
+       struct, so the match is row-atomic even with null payload fields)
+       onto subsequent left rows (``first`` + following for ``forward``);
     4. keep left rows; optionally null out matches outside ``tolerance``.
 
 Scale shape: exactly ONE shuffle (hash partition by ``by``) plus a
@@ -72,19 +73,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         return (F.unix_micros(col.cast("timestamp"))
                 if dt.startswith("timestamp") else col)
 
+    # The matched right row travels as ONE struct (_r_on + payload), so
+    # last/first(ignorenulls) picks an entire row atomically: a struct
+    # whose *fields* are null is still non-null, so a NULL in one payload
+    # column of the true match is preserved rather than back-filled from
+    # an older right row (pandas merge_asof semantics; per-column carry
+    # would silently mix columns from different right rows).
+    from pyspark.sql import types as T
+    pack_type = T.StructType(
+        [T.StructField("_r_on", right.schema[on].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in payload])
     l_tag = left.select(
         *by, F.col(on), F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in set(by) | {on}],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c)
-          for c in payload],
-        F.lit(None).cast(dict(left.dtypes + right.dtypes)[on])
-        .alias("_r_on"))
+        F.lit(None).cast(pack_type).alias("_r_pack"))
     r_tag = right.select(
         *by, F.col(on), F.lit(0).alias("_side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
           for c in left.columns if c not in set(by) | {on}],
-        *[F.col(c) for c in payload],
-        F.col(on).alias("_r_on"))
+        F.struct(F.col(on).alias("_r_on"),
+                 *[F.col(c) for c in payload]).alias("_r_pack"))
     u = l_tag.unionByName(r_tag)
 
     base = Window.partitionBy(*by) if by else Window.partitionBy()
@@ -97,12 +105,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
              .rowsBetween(Window.currentRow, Window.unboundedFollowing))
         pick = F.first
 
-    matched = [pick(F.col(c), ignorenulls=True).over(w).alias(c)
-               for c in payload]
-    r_on = pick(F.col("_r_on"), ignorenulls=True).over(w) \
-        .alias(f"{on}{suffix}")
+    m = pick(F.col("_r_pack"), ignorenulls=True).over(w)
     left_cols = [c for c in left.columns]
-    out = (u.select(*left_cols, "_side", *matched, r_on)
+    out = (u.select(*left_cols, "_side",
+                    *[m[c].alias(c) for c in payload],
+                    m["_r_on"].alias(f"{on}{suffix}"))
            .filter(F.col("_side") == 1).drop("_side"))
 
     if tolerance is not None:

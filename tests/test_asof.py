@@ -149,3 +149,34 @@ def test_empty_right_yields_all_null_matches(spark):
         pd.DataFrame({"k": [1], "ts": [1], "rv": [9]})).filter("k > 99")
     got = asof_join(left, right, on="ts", by=["k"]).toPandas()
     assert len(got) == 2 and got["rv"].isna().all()
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_null_payload_field_is_not_backfilled(spark, direction):
+    """The matched right row must be taken ATOMICALLY (ADVICE r3): a NULL
+    payload field in the true match stays NULL instead of being carried
+    from an older/newer right row — multi-column payload, per-column
+    last/first(ignorenulls) would mix rows here."""
+    left = spark.createDataFrame(pd.DataFrame(
+        {"k": [1, 1], "ts": [10, 20], "lv": [0, 1]}))
+    right_pdf = pd.DataFrame({
+        "k": [1, 1, 1],
+        "ts": [5, 15, 25],
+        "rv": [100.0, None, 200.0],       # null at the ts=15 / ts=25 match
+        "rw": [None, 300.0, None],
+    })
+    if direction == "forward":
+        right_pdf.loc[2, "rv"] = None
+        right_pdf.loc[2, "rw"] = 400.0
+    right = spark.createDataFrame(right_pdf)
+    got = (asof_join(left, right, on="ts", by=["k"], direction=direction)
+           .toPandas().sort_values("ts").reset_index(drop=True))
+    exp = pd.merge_asof(
+        left.toPandas().sort_values("ts"),
+        right_pdf.sort_values("ts").rename(columns={"ts": "ts_matched"}),
+        left_on="ts", right_on="ts_matched", by="k", direction=direction
+    ).sort_values("ts").reset_index(drop=True)
+    for col in ("rv", "rw", "ts_matched"):
+        pd.testing.assert_series_equal(got[col].astype("float64"),
+                                       exp[col].astype("float64"),
+                                       check_names=False)
