@@ -138,8 +138,11 @@ def apply_bpe(df: DataFrame, merges: Sequence[Sequence[str]],
     merge table. Distinct words are encoded once per batch through a
     per-executor cache; everything else is NumPy gather."""
     ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    # id column keeps its ACTUAL input type (string / int32 / long all
+    # valid doc ids) — hardcoding LongType failed Arrow conversion at
+    # runtime for non-long ids despite the generic id_col parameter.
     schema = T.StructType([
-        T.StructField(id_col, T.LongType()),
+        T.StructField(id_col, df.schema[id_col].dataType),
         T.StructField("n_words", T.IntegerType()),
         T.StructField("n_bpe_tokens", T.IntegerType()),
     ])

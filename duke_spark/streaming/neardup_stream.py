@@ -12,10 +12,12 @@ a persisted bucket table:
     1. batch docs → MinHash signatures → (band_idx, band_hash) rows;
     2. candidates = batch bands ⋈ stored bucket table (bucket table is
        parquet partitioned by band_idx, so the join prunes to the
-       batch's bands); band rows carry the EPOCH that wrote them, and
-       the history join excludes the current epoch's own rows — so an
-       epoch replayed after a mid-commit crash never collides with the
-       bands it wrote before crashing;
+       batch's bands); band rows carry the (RUN, EPOCH) that wrote them,
+       and the history join excludes only the current run's current
+       epoch — so an epoch replayed after a mid-commit crash never
+       collides with the bands it wrote before crashing, while a
+       fresh-checkpoint run (epoch ids restarting at 0) still sees ALL
+       prior runs' rows as history;
     3. within-batch near-dups resolved by the batch-local
        ``near_dup_filter`` (greedy min-id), cross-batch survivors =
        anti-join against candidates (or, in ``verify=True`` mode, only
@@ -91,7 +93,8 @@ class StreamingNearDupFilter:
                  text_col: str = "text", id_col: str = "doc_id",
                  num_hashes: int = 64, bands: int = 16,
                  jaccard_threshold: float = 0.8,
-                 verify: bool = False):
+                 verify: bool = False,
+                 run_id: str | None = None):
         self.out_dir = out_dir
         self.state_dir = state_dir
         self.sig_dir = state_dir.rstrip("/") + "_sigs"
@@ -99,6 +102,18 @@ class StreamingNearDupFilter:
         self.num_hashes, self.bands = num_hashes, bands
         self.jaccard_threshold = jaccard_threshold
         self.verify = verify
+        # Replay-exclusion scope (ADVICE r3): state rows are tagged
+        # (run_id, epoch_id), and an epoch excludes only ITS OWN earlier
+        # partial writes — raw epoch equality would make a fresh-checkpoint
+        # run (epochs restarting at 0) silently ignore all historical rows
+        # that happen to share an epoch number, admitting near-dups of
+        # those survivors. Pass a run_id STABLE across restarts of the
+        # same checkpoint (e.g. derived from checkpointLocation or the
+        # streaming query id) so crash-replays still self-exclude; the
+        # default — a fresh UUID per writer — is safe for fresh-checkpoint
+        # runs and for same-process retries that reuse this instance.
+        import uuid
+        self.run_id = run_id if run_id is not None else uuid.uuid4().hex
 
     def compact(self, spark: SparkSession) -> int:
         """Rebuild the band table from the surviving corpus (the TTL /
@@ -114,7 +129,8 @@ class StreamingNearDupFilter:
                                   self.num_hashes).persist()
         fresh = _bands(sigs, self.bands, self.id_col) \
             .select(self.id_col, "band_idx", "band_hash",
-                    F.lit(-1).cast("long").alias("epoch_id"))
+                    F.lit(-1).cast("long").alias("epoch_id"),
+                    F.lit(None).cast("string").alias("run_id"))
 
         def _swap_in(df: DataFrame, dest: str, partition_by=None) -> int:
             tmp = dest.rstrip("/") + ".compact_tmp"
@@ -135,7 +151,8 @@ class StreamingNearDupFilter:
         n = _swap_in(fresh, self.state_dir, partition_by="band_idx")
         if self.verify:
             _swap_in(sigs.select(self.id_col, "signature",
-                                 F.lit(-1).cast("long").alias("epoch_id")),
+                                 F.lit(-1).cast("long").alias("epoch_id"),
+                                 F.lit(None).cast("string").alias("run_id")),
                      self.sig_dir)
         sigs.unpersist()
         return n
@@ -144,9 +161,24 @@ class StreamingNearDupFilter:
         if not os.path.isdir(path):
             return None
         try:
-            return spark.read.parquet(path)
+            # mergeSchema: state written by older code lacks run_id; mixed
+            # files must still surface the column (as null) on new rows
+            return spark.read.option("mergeSchema", "true").parquet(path)
         except Exception:
             return None
+
+    def _exclude_own(self, df: DataFrame, epoch_id: int) -> DataFrame:
+        """Drop THIS (run_id, epoch_id)'s own earlier partial writes —
+        and nothing else. Rows with a null/absent run_id (legacy state,
+        compact()-rebuilt rows) are genuine history and always kept;
+        legacy tables without the run_id column fall back to epoch-only
+        exclusion (the pre-run_id behavior) until their first new append."""
+        if "epoch_id" not in df.columns:
+            return df
+        own = F.col("epoch_id") == F.lit(int(epoch_id))
+        if "run_id" in df.columns:
+            own = own & (F.col("run_id") == F.lit(self.run_id))
+        return df.filter(~F.coalesce(own, F.lit(False)))
 
     def _history_hits(self, my_bands: DataFrame, my_sigs: DataFrame,
                       stored: DataFrame, spark: SparkSession,
@@ -171,19 +203,21 @@ class StreamingNearDupFilter:
         hist_sigs = self._read_state(spark, self.sig_dir)
         if hist_sigs is None:
             return pairs.select(self.id_col).distinct()
-        if "epoch_id" in hist_sigs.columns:
-            hist_sigs = hist_sigs.filter(
-                F.col("epoch_id") != F.lit(int(epoch_id)))
-        hist_sigs = (hist_sigs
+        hist_sigs = (self._exclude_own(hist_sigs, epoch_id)
                      .select(F.col(self.id_col).alias("_hist_id"),
                              F.col("signature").alias("_hist_sig"))
                      .dropDuplicates(["_hist_id"]))
+        # LEFT join the signature sidecar: a collision whose historical
+        # signature is missing (crash between the bands and sigs appends,
+        # partial sidecar state) must resolve to the CONSERVATIVE drop,
+        # not a silent false keep — null _hist_sig counts as a hit.
         return (pairs
-                .join(hist_sigs, "_hist_id")
+                .join(hist_sigs, "_hist_id", "left")
                 .join(my_sigs.select(self.id_col, "signature"), self.id_col)
-                .where(_sig_agreement(F.col("signature"),
-                                      F.col("_hist_sig"))
-                       >= F.lit(self.jaccard_threshold))
+                .where(F.col("_hist_sig").isNull()
+                       | (_sig_agreement(F.col("signature"),
+                                         F.col("_hist_sig"))
+                          >= F.lit(self.jaccard_threshold)))
                 .select(self.id_col).distinct())
 
     def process(self, batch: DataFrame, epoch_id: int) -> None:
@@ -202,9 +236,7 @@ class StreamingNearDupFilter:
         # itself (the bands carry the epoch that wrote them).
         stored = self._read_state(spark, self.state_dir)
         if stored is not None:
-            if "epoch_id" in stored.columns:
-                stored = stored.filter(
-                    F.col("epoch_id") != F.lit(int(epoch_id)))
+            stored = self._exclude_own(stored, int(epoch_id))
             hit = self._history_hits(my_bands, sigs, stored, spark,
                                      int(epoch_id))
             survivors_ids = (local.select(self.id_col)
@@ -224,15 +256,16 @@ class StreamingNearDupFilter:
         # signatures. Band/sig rows are epoch-tagged for the step-2 filter.
         survivors.write.mode("append").parquet(self.out_dir)
         ep = F.lit(int(epoch_id)).cast("long").alias("epoch_id")
+        rid = F.lit(self.run_id).alias("run_id")
         new_bands = (my_bands.join(survivors.select(self.id_col),
                                    self.id_col, "left_semi")
-                     .select(self.id_col, "band_idx", "band_hash", ep))
+                     .select(self.id_col, "band_idx", "band_hash", ep, rid))
         new_bands.write.mode("append").partitionBy("band_idx") \
             .parquet(self.state_dir)
         if self.verify:
             (sigs.join(survivors.select(self.id_col), self.id_col,
                        "left_semi")
-             .select(self.id_col, "signature", ep)
+             .select(self.id_col, "signature", ep, rid)
              .write.mode("append").parquet(self.sig_dir))
         for df in (local, sigs, my_bands):
             df.unpersist()

@@ -31,6 +31,19 @@ import pyarrow.parquet as pq
 
 REPLICAS = 10
 DIMS = ["region", "nation", "part", "supplier"]
+# Key DOMAINS, not per-table keys (ADVICE r3): a foreign key must shift
+# by the same amount as the primary key it references, or replica joins
+# dangle (e.g. customers without orders make max(c_custkey) >
+# max(o_custkey), so per-table shifts would misalign customer⋈orders for
+# every replica ≥ 1 and change the measured join selectivity). One shift
+# per domain = max over every column in the domain, applied everywhere.
+KEY_DOMAINS = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "event_id": [("events", "event_id")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
+}
 KEY_SHIFT = {
     "customer": ["c_custkey"],
     "orders": ["o_orderkey", "o_custkey"],
@@ -63,12 +76,26 @@ def main() -> None:
                            os.path.join(args.out, f"{t}.parquet"))
             print(f"{t}: copied")
 
+    # one shared shift per key domain (see KEY_DOMAINS)
+    domain_shift: dict[str, int] = {}
+    col_shift: dict[tuple[str, str], int] = {}
+    for dom, cols in KEY_DOMAINS.items():
+        mx = -1
+        for t, c in cols:
+            src = os.path.join(args.src, f"{t}.parquet")
+            if os.path.exists(src):
+                mx = max(mx, int(pq.read_table(src, columns=[c])[c]
+                                 .to_pandas().max()))
+        domain_shift[dom] = mx + 1
+        for t, c in cols:
+            col_shift[(t, c)] = mx + 1
+
     for t, keys in KEY_SHIFT.items():
         src = os.path.join(args.src, f"{t}.parquet")
         if not os.path.exists(src):
             continue
         base = pq.read_table(src).to_pandas()
-        shift = {k: int(base[k].max()) + 1 for k in keys}
+        shift = {k: col_shift[(t, k)] for k in keys}
         parts = []
         for i in range(REPLICAS):
             rep = base.copy()

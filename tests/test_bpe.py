@@ -73,3 +73,17 @@ def test_merge_persistence(tmp_path):
     p = str(tmp_path / "merges.json")
     save_merges(merges, p)
     assert load_merges(p) == merges
+
+
+def test_apply_bpe_string_id_column(spark):
+    """apply_bpe must respect the id column's actual dtype (ADVICE r3):
+    a string doc id used to fail at Arrow conversion because the output
+    schema hardcoded LongType."""
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "text": ["low lower lowest", "new newer newest"]}))
+    merges = train_bpe(df, num_merges=10)
+    got = apply_bpe(df, merges).toPandas().set_index("doc_id")
+    assert set(got.index) == {"a", "b"}
+    assert (got["n_words"] == 3).all()

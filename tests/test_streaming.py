@@ -339,3 +339,68 @@ def test_neardup_verified_mode_keeps_fluke_collisions(spark, tmp_path):
     assert results["conservative"] == {1}          # fluke dropped too
     assert results["verified"] == {1, 10}          # fluke survives
     assert 11 not in results["verified"]           # true dup still dropped
+
+
+def test_neardup_fresh_run_respects_prior_history(spark, tmp_path):
+    """Replay exclusion is scoped to (run_id, epoch_id) (ADVICE r3): a NEW
+    writer with a fresh checkpoint — epoch ids restarting at 0 — against
+    an EXISTING state dir must still treat the prior run's epoch-0 rows
+    as history. Raw epoch equality silently ignored them, admitting
+    near-duplicates of those survivors."""
+    import pandas as pd
+    from duke_spark.streaming.neardup_stream import StreamingNearDupFilter
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    run1 = StreamingNearDupFilter(out, state, jaccard_threshold=0.7)
+    run1.process(spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array([1], dtype="int64"),
+        "text": ["the quick brown fox jumps over the lazy dog"]})),
+        epoch_id=0)
+
+    # second run: new writer object (new run_id), epochs restart at 0
+    run2 = StreamingNearDupFilter(out, state, jaccard_threshold=0.7)
+    assert run1.run_id != run2.run_id
+    run2.process(spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array([10, 11], dtype="int64"),
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "entirely fresh material never seen before"]})),
+        epoch_id=0)
+    got = set(spark.read.parquet(out).toPandas()["doc_id"])
+    assert 10 not in got, "fresh run ignored prior run's epoch-0 state"
+    assert got == {1, 11}
+
+    # and a stable run_id (same checkpoint restarted) still self-excludes
+    run3 = StreamingNearDupFilter(out, state, jaccard_threshold=0.7,
+                                  run_id=run2.run_id)
+    assert run3.run_id == run2.run_id
+
+
+def test_neardup_verified_missing_sig_drops_conservatively(spark, tmp_path):
+    """verify=True with a band collision whose historical signature is
+    MISSING from the sidecar (crash between the bands and sigs appends)
+    must fall back to the conservative drop, not a silent keep."""
+    import pandas as pd
+    import shutil
+    from duke_spark.streaming.neardup_stream import StreamingNearDupFilter
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    proc = StreamingNearDupFilter(out, state, jaccard_threshold=0.7,
+                                  verify=True)
+    proc.process(spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array([1], dtype="int64"),
+        "text": ["the quick brown fox jumps over the lazy dog"]})),
+        epoch_id=0)
+    # simulate the partial-sidecar crash: bands persisted, but doc 1's
+    # signature row never landed — the sidecar exists yet lacks the
+    # colliding doc, so the verify join finds no signature for it
+    sig_dir = state.rstrip("/") + "_sigs"
+    sigs = spark.read.option("mergeSchema", "true").parquet(sig_dir)
+    orphaned = sigs.filter("doc_id <> 1").localCheckpoint()
+    shutil.rmtree(sig_dir)
+    orphaned.write.parquet(sig_dir)
+    proc.process(spark.createDataFrame(pd.DataFrame({
+        "doc_id": pd.array([10], dtype="int64"),
+        "text": ["the quick brown fox jumps over the lazy dog"]})),
+        epoch_id=1)
+    got = set(spark.read.parquet(out).toPandas()["doc_id"])
+    assert 10 not in got, "missing sidecar signature became a false keep"
