@@ -728,10 +728,13 @@ def contamination_docs(spark, sf_dir):
 
 
 def _docs_as_media(spark, sf_dir):
-    """Deterministic binary media column derived from doc_id (images for
-    doc_id%3!=0, audio otherwise) — the multimodal test substrate."""
+    """Deterministic binary media column derived from doc_id — the
+    multimodal test substrate: doc_id%3==1 → DSIM fixture image,
+    doc_id%3==2 → header-valid JPEG (real SOF0 marker walk, 41 bytes),
+    doc_id%3==0 → DSAU fixture audio."""
     from duke_spark.operators.multimodal import (make_fake_audio,
-                                                 make_fake_image)
+                                                 make_fake_image,
+                                                 make_fake_jpeg)
     docs = (_t(spark, sf_dir, "documents").select("doc_id")
             .filter(F.col("doc_id") < 300))
 
@@ -742,9 +745,12 @@ def _docs_as_media(spark, sf_dir):
             blobs = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                if did % 3 != 0:
+                if did % 3 == 1:
                     blobs.append(make_fake_image(
                         f"doc_{did}", 16 + did % 16, 12 + did % 8))
+                elif did % 3 == 2:
+                    blobs.append(make_fake_jpeg(
+                        16 + did % 16, 12 + did % 8))
                 else:
                     blobs.append(make_fake_audio(
                         f"doc_{did}", 8000, 1024 + (did % 7) * 256))
@@ -1409,8 +1415,9 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'audio' END AS kind,
                      CASE WHEN doc_id % 3 <> 0
                           THEN 16 + doc_id % 16 END AS width,
-                     CASE WHEN doc_id % 3 <> 0
+                     CASE WHEN doc_id % 3 = 1
                           THEN 9 + (16 + doc_id % 16) * (12 + doc_id % 8) * 3
+                          WHEN doc_id % 3 = 2 THEN 41
                           ELSE 12 + (1024 + (doc_id % 7) * 256) * 4
                           END AS n_bytes,
                      CASE WHEN doc_id % 3 = 0

@@ -145,10 +145,21 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = 1000) -> DataFrame:
+                        max_shingle_df: int | None = 1000,
+                        allow_quadratic: bool = False,
+                        max_docs: int = 100_000) -> DataFrame:
     """n-gram Jaccard similarity for all pairs above threshold.
     explode distinct shingles → self-join on shingle (AQE skew-join covers
     hot shingles) → |A∩B| / (|A|+|B|−|A∩B|). Use LSH first at scale.
+
+    This operator is verification-grade, NOT the 100 TB path: even with
+    the shingle-df cap, duplicate-heavy corpora make the self-join grow
+    quadratically within buckets. Inputs above ``max_docs`` rows raise
+    unless ``allow_quadratic=True`` is passed explicitly, with
+    :func:`lsh_candidate_pairs` as the pointed-to scale path. The guard
+    runs one eager ``count()`` on the (pruned, 2-column) input — a cheap
+    scan relative to the join it protects — and is skipped entirely when
+    ``allow_quadratic=True``, keeping the scale-path call fully lazy.
 
     ``max_shingle_df`` is the detonation guard: a stop-shingle ("of the
     and") appearing in d documents contributes d² join rows, so shingles
@@ -157,6 +168,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     well-defined approximation; ubiquitous shingles carry no near-dup
     signal anyway). ``None`` disables the cap for exact verification on
     corpora known to be clean."""
+    if not allow_quadratic:
+        n_docs = df.select(id_col).count()
+        if n_docs > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: input has {n_docs} docs > "
+                f"max_docs={max_docs}; this operator is quadratic within "
+                "shingle buckets and is meant for verification at small "
+                "scale. Use lsh_candidate_pairs (+ near_dup_filter) for "
+                "the at-scale path, or pass allow_quadratic=True to "
+                "override deliberately.")
     sh = (with_shingles(df.select(id_col, text_col), text_col, n=n)
           .select(id_col, F.explode(F.array_distinct("shingles"))
                   .alias("shingle")))

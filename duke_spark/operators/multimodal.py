@@ -56,6 +56,61 @@ def make_fake_image(key: str, width: int, height: int,
     return header + payload
 
 
+def make_fake_jpeg(width: int, height: int, channels: int = 3) -> bytes:
+    """Header-valid JPEG (SOI + JFIF APP0 + SOF0 + EOI): carries real
+    dimensions in the SOF0 marker but no entropy-coded data, so it
+    exercises the marker walker in :func:`media_metadata` without
+    libjpeg. Always 41 bytes for 3 components (38 + channels)."""
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+            + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * channels, 8,
+                                    height, width, channels)
+    sof += b"".join(bytes([i + 1, 0x11, 0]) for i in range(channels))
+    return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
+
+
+# SOF0-SOF15 minus DHT (C4), JPG (C8), DAC (CC) — every frame-header
+# marker whose payload starts precision/height/width/ncomponents
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_sof_dims(blob: bytes) -> Optional[tuple]:
+    """(width, height, components) from the first SOF marker, walking the
+    marker stream only (APP/EXIF/COM segments skipped by their declared
+    length; stops at SOS) — no entropy decode, so cost is O(#segments)
+    regardless of file size."""
+    n = len(blob)
+    if n < 4 or blob[0] != 0xFF or blob[1] != 0xD8:
+        return None
+    i = 2
+    while i + 1 < n:
+        if blob[i] != 0xFF:
+            return None                      # marker-stream desync
+        marker = blob[i + 1]
+        if marker == 0xFF:                   # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            i += 2                           # standalone: TEM/RSTn/SOI/EOI
+            continue
+        if i + 4 > n:
+            return None
+        seg_len = (blob[i + 2] << 8) | blob[i + 3]
+        if seg_len < 2:
+            return None
+        if marker in _JPEG_SOF:
+            if seg_len < 8 or i + 9 >= n:
+                return None
+            h = (blob[i + 5] << 8) | blob[i + 6]
+            w = (blob[i + 7] << 8) | blob[i + 8]
+            c = blob[i + 9]
+            return (w, h, c) if w > 0 and h > 0 and c > 0 else None
+        if marker == 0xDA:                   # SOS: SOF must precede it
+            return None
+        i += 2 + seg_len
+    return None
+
+
 def make_fake_audio(key: str, sample_rate: int, n_samples: int) -> bytes:
     header = _MAGIC_AUD + struct.pack("<II", sample_rate, n_samples)
     seed = hashlib.blake2b(key.encode(), digest_size=8).digest()
@@ -153,7 +208,11 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
     PNG (IHDR dims/channels — IHDR is mandatory-first per spec), WAV
     (canonical RIFF layout: fmt at offset 12, data at 36 — the layout
     every encoder writes; non-canonical WAVs get sample_rate only), and
-    the two deterministic fixture formats (DSIM/DSAU)."""
+    the two deterministic fixture formats (DSIM/DSAU). JPEG dims come
+    from the first SOF marker (SOF0/SOF2/...), which sits at arbitrary
+    offset after APP/EXIF segments — those rows take a per-row marker
+    walk (``_jpeg_sof_dims``), header-only, JPEG rows only. Full JPEG
+    *decode* still raises (libjpeg absent — ``decode_image``)."""
     from duke_spark.kernel.codecs import PNG_SIG
     pruned = df.select(F.col(id_col).alias("media_id"), F.col(blob_col))
     HEAD = 44
@@ -202,6 +261,19 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
             pc = np.select([pctype == 0, pctype == 2, pctype == 4,
                             pctype == 6], [1, 3, 2, 4], default=0)
             png_ok = is_png & (pdepth == 8) & (pc > 0)
+            # JPEG: dims live in a SOF marker at arbitrary offset (after
+            # APP0/EXIF), so JPEG rows pay a per-row marker walk — still
+            # header-only (stops at SOS), and only on JPEG rows
+            is_jpg = eq(0, b"\xff\xd8\xff")
+            jpg_ok = np.zeros(n, dtype=bool)
+            jw = np.zeros(n, dtype=np.int64)
+            jh = np.zeros(n, dtype=np.int64)
+            jc = np.zeros(n, dtype=np.int64)
+            for idx in np.nonzero(is_jpg)[0]:
+                dims = _jpeg_sof_dims(bytes(blobs[idx]))
+                if dims is not None:
+                    jw[idx], jh[idx], jc[idx] = dims
+                    jpg_ok[idx] = True
             # WAV: RIFF/WAVE; canonical fmt chunk at 12, data at 36
             is_wav = eq(0, b"RIFF") & eq(8, b"WAVE")
             wav_canon = is_wav & eq(12, b"fmt ")
@@ -213,13 +285,13 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
                            u32le(40) // np.maximum((wbits // 8) * wch, 1), 0)
             wav_ok = wav_canon & (wsr > 0)
 
-            img_ok = dsim_ok | png_ok
+            img_ok = dsim_ok | png_ok | jpg_ok
             aud_ok = dsau_ok | wav_ok
             kind = np.where(img_ok, "image",
                             np.where(aud_ok, "audio", "unknown"))
-            w = np.where(png_ok, pw, fw)
-            h = np.where(png_ok, ph, fh)
-            c = np.where(png_ok, pc, fc)
+            w = np.select([png_ok, jpg_ok], [pw, jw], default=fw)
+            h = np.select([png_ok, jpg_ok], [ph, jh], default=fh)
+            c = np.select([png_ok, jpg_ok], [pc, jc], default=fc)
             sr = np.where(wav_ok, wsr, fsr)
             ns = np.where(wav_ok, wns, fns)
             ns_mask = aud_ok & (dsau_ok | has_data)

@@ -242,3 +242,17 @@ def test_connected_components_random_graph_matches_union_find(spark):
     got = (connected_components(spark.createDataFrame(pairs))
            .toPandas().set_index("node")["comp"].to_dict())
     assert got == exp
+
+
+def test_jaccard_quadratic_guard(spark):
+    """ngram_jaccard_pairs is verification-grade: above max_docs it must
+    raise and point at the LSH scale path unless allow_quadratic=True."""
+    import pytest
+    docs = spark.range(5).selectExpr(
+        "id as doc_id", "concat('tok', id, ' alpha beta gamma') as text")
+    with pytest.raises(ValueError, match="lsh_candidate_pairs"):
+        ngram_jaccard_pairs(docs, threshold=0.1, max_docs=3)
+    # explicit override bypasses the guard (and its eager count)
+    out = ngram_jaccard_pairs(docs, threshold=0.1, max_docs=3,
+                              allow_quadratic=True).toPandas()
+    assert {"a", "b", "jaccard"} <= set(out.columns)

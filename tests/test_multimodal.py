@@ -256,3 +256,41 @@ def test_metadata_parses_real_png_and_wav(spark):
     assert got.loc["wav", "kind"] == "audio"
     assert got.loc["wav", "sample_rate"] == 22050
     assert got.loc["wav", "n_samples"] == 5000
+
+
+def test_metadata_parses_jpeg_sof_headers(spark):
+    """JPEG dims come from the SOF marker at arbitrary offset: the plain
+    fixture (SOF at 20, inside the 44-byte head block) and one padded
+    with a 5 KB APP1/EXIF segment (SOF far beyond the head block) must
+    both parse; SOS-before-SOF and truncated streams are invalid."""
+    import pandas as pd
+
+    plain = mm.make_fake_jpeg(640, 480)
+    assert len(plain) == 41
+    exif = (b"\xff\xe1" + (5000 + 2).to_bytes(2, "big") + b"E" * 5000)
+    padded = plain[:2] + exif + plain[2:]
+    # progressive frame header (SOF2) instead of baseline SOF0
+    prog = bytearray(mm.make_fake_jpeg(33, 7, channels=1))
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    sos_first = plain[:2] + b"\xff\xda\x00\x04\x01\x00" + plain[2:]
+    trunc = plain[:12]
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": ["plain", "padded", "prog", "sos", "trunc"],
+        "blob": [plain, padded, bytes(prog), sos_first, trunc]}))
+    got = mm.media_metadata(df).toPandas().set_index("media_id")
+    for mid, (w, h, c) in {"plain": (640, 480, 3),
+                           "padded": (640, 480, 3),
+                           "prog": (33, 7, 1)}.items():
+        assert got.loc[mid, "kind"] == "image" and bool(got.loc[mid, "valid"])
+        assert (got.loc[mid, "width"], got.loc[mid, "height"],
+                got.loc[mid, "channels"]) == (w, h, c)
+    for mid in ("sos", "trunc"):
+        assert got.loc[mid, "kind"] == "unknown"
+        assert not bool(got.loc[mid, "valid"])
+
+
+def test_decode_image_still_raises_for_jpeg():
+    """Metadata parses JPEG headers, but full decode stays declared-
+    unsupported (libjpeg absent)."""
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(mm.make_fake_jpeg(8, 8))
