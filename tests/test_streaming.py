@@ -404,3 +404,47 @@ def test_neardup_verified_missing_sig_drops_conservatively(spark, tmp_path):
         epoch_id=1)
     got = set(spark.read.parquet(out).toPandas()["doc_id"])
     assert 10 not in got, "missing sidecar signature became a false keep"
+
+
+def test_stream_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """Watermark eviction bounds dedup state (VERDICT r3 #7): across 4
+    epochs whose event time advances far past the watermark delay, the
+    state store's numRowsTotal must plateau at ~2 epochs' keys (current
+    + not-yet-evicted previous), NOT grow with total ingest."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from duke_spark.streaming.dedup_stream import stream_exact_dedup
+
+    dirs = {k: str(tmp_path / k) for k in ("in", "out", "ck")}
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    K, EPOCHS = 20, 4
+    os.makedirs(dirs["in"], exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(dirs["in"])
+    q = (stream_exact_dedup(stream, watermark="10 seconds").writeStream
+         .format("parquet").option("path", dirs["out"])
+         .option("checkpointLocation", dirs["ck"]).start())
+    try:
+        totals = []
+        for e in range(EPOCHS):
+            pdf = pd.DataFrame({
+                "doc_id": pd.array(range(e * K, e * K + K), dtype="int64"),
+                "text": [f"epoch{e} doc{i} payload" for i in range(K)],
+                "ts": pd.Series([base + pd.Timedelta(seconds=300 * e + i)
+                                 for i in range(K)])
+                .astype("datetime64[us]"),
+            })
+            _write_chunk(pdf, dirs["in"] + f"/e{e}.parquet")
+            q.processAllAvailable()
+            prog = q.lastProgress
+            totals.append(prog["stateOperators"][0]["numRowsTotal"])
+    finally:
+        q.stop()
+    # all docs distinct → all emitted; state must NOT hold all of them
+    assert len(spark.read.parquet(dirs["out"]).toPandas()) == K * EPOCHS
+    assert max(totals) <= 2 * K, totals
+    assert totals[-1] <= 2 * K < K * EPOCHS, totals
