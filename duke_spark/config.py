@@ -37,7 +37,8 @@ def _set_worker_env() -> None:
 
 def get_spark(app_name: str = "duke_spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
     _set_worker_env()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("DUKE_SPARK_MASTER", f"local[{cpus}]")
@@ -67,4 +68,8 @@ def get_spark(app_name: str = "duke_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # caller overrides (e.g. scripts/skew_proof.py re-enables the UI to
+    # read per-task durations from the status REST API)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
