@@ -58,9 +58,16 @@ def frame_hash(pdf: pd.DataFrame) -> str:
 
 
 def main() -> None:
-    only = sys.argv[1:] or None
-    spark = get_spark("contract_check", master="local[8]",
-                      shuffle_partitions=8)
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    only = argv or None
+    cpus = int(os.environ.get("CONTRACT_CPUS", "8"))
+    spark = get_spark("contract_check", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
     con = duckdb.connect()
     for t in entry.TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
@@ -69,6 +76,7 @@ def main() -> None:
 
     qs, oracles = entry.queries(), entry.oracle_sql()
     failures = []
+    records = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -78,11 +86,14 @@ def main() -> None:
         except Exception as e:
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             failures.append(name)
+            records[name] = {"err": f"spark: {type(e).__name__}: {e}"}
             continue
         el = time.time() - t0
         if name not in oracles:
             print(f"rows-only  {name}: {len(got)} rows, "
                   f"cols={sorted(got.columns)} ({el:.1f}s)")
+            records[name] = {"rows": len(got), "err": "no_oracle",
+                             "spark_sec": round(el, 2)}
             if len(got) == 0:
                 failures.append(name)
             continue
@@ -91,6 +102,7 @@ def main() -> None:
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {e}")
             failures.append(name)
+            records[name] = {"err": f"duckdb: {e}"}
             continue
         ok_rows = len(got) == len(exp)
         ok_cols = sorted(got.columns) == sorted(exp.columns)
@@ -107,6 +119,11 @@ def main() -> None:
               f"cols={'ok' if ok_cols else (sorted(got.columns), sorted(exp.columns))} "
               f"hash={'ok' if ok_hash else 'MISMATCH'} "
               f"kinds={'ok' if ok_kinds else bad_kinds} ({el:.1f}s)")
+        records[name] = {
+            "rows": len(got), "oracle_rows": len(exp),
+            "rows_match": ok_rows, "cols_match": ok_cols,
+            "hash_match": ok_hash, "kinds_match": ok_kinds,
+            "spark_sec": round(el, 2)}
         if status.startswith("FAIL"):
             failures.append(name)
             if ok_cols and not ok_hash:
@@ -119,6 +136,15 @@ def main() -> None:
                     print(pd.concat([g[diff].head(3), e_[diff].head(3)],
                                     keys=["spark", "duck"]).to_string())
     print("\nFAILURES:", failures or "none")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "cpus": cpus,
+                       "n_queries": len(records),
+                       "n_failures": len(failures),
+                       "failures": failures,
+                       "queries": records}, f, indent=1)
+        print(f"wrote {json_out}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
