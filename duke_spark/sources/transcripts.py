@@ -28,7 +28,14 @@ def read_transcripts(spark: SparkSession, path: str,
     ``Duke/dataset.py:37`` — but with the schema explicit, never
     inferred, so types and pushdown are stable)."""
     if fmt == "iceberg":
-        df = spark.read.format("iceberg").load(path)
+        from duke_spark.sources import iceberg_lite
+        if iceberg_lite.is_iceberg_lite_table(path):
+            # jar-free spec-based path (metadata JSON → Avro manifests →
+            # pruned parquet); used when ``path`` is a directory table
+            df = iceberg_lite.read_table(spark, path)
+        else:
+            # catalog table via the real Iceberg runtime (requires jars)
+            df = spark.read.format("iceberg").load(path)
     elif fmt == "csv":
         df = (spark.read.schema(TRANSCRIPT_SCHEMA)
               .option("header", True)
