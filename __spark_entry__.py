@@ -731,10 +731,12 @@ def _docs_as_media(spark, sf_dir):
     """Deterministic binary media column derived from doc_id — the
     multimodal test substrate: doc_id%3==1 → DSIM fixture image,
     doc_id%3==2 → header-valid JPEG (real SOF0 marker walk, 41 bytes),
-    doc_id%3==0 → DSAU fixture audio."""
+    doc_id%6==3 → header-valid MP3 (ID3v2 + real MPEG frame headers,
+    frame walk), remaining doc_id%3==0 → DSAU fixture audio."""
     from duke_spark.operators.multimodal import (make_fake_audio,
                                                  make_fake_image,
-                                                 make_fake_jpeg)
+                                                 make_fake_jpeg,
+                                                 make_fake_mp3)
     docs = (_t(spark, sf_dir, "documents").select("doc_id")
             .filter(F.col("doc_id") < 300))
 
@@ -751,6 +753,9 @@ def _docs_as_media(spark, sf_dir):
                 elif did % 3 == 2:
                     blobs.append(make_fake_jpeg(
                         16 + did % 16, 12 + did % 8))
+                elif did % 6 == 3:
+                    blobs.append(make_fake_mp3(
+                        44100, n_frames=2 + did % 5))
                 else:
                     blobs.append(make_fake_audio(
                         f"doc_{did}", 8000, 1024 + (did % 7) * 256))
@@ -1418,9 +1423,13 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN doc_id % 3 = 1
                           THEN 9 + (16 + doc_id % 16) * (12 + doc_id % 8) * 3
                           WHEN doc_id % 3 = 2 THEN 41
+                          WHEN doc_id % 6 = 3
+                          THEN 10 + (2 + doc_id % 5) * 417
                           ELSE 12 + (1024 + (doc_id % 7) * 256) * 4
                           END AS n_bytes,
-                     CASE WHEN doc_id % 3 = 0
+                     CASE WHEN doc_id % 6 = 3
+                          THEN (2 + doc_id % 5) * 1152
+                          WHEN doc_id % 3 = 0
                           THEN 1024 + (doc_id % 7) * 256 END AS n_samples
               FROM documents WHERE doc_id < 300)
             SELECT kind, COUNT(*) AS n,

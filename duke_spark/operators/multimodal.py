@@ -12,9 +12,11 @@ grafted on top, anchored to the same batch-kernel architecture as
 Real codecs, stdlib-only: PNG and WAV decode/encode via
 ``kernel.codecs`` (zlib + RIFF — no PIL/ffmpeg needed), so
 ``image_features``/``resize_images``/``audio_frame_stats`` run on real
-bytes. JPEG/MP3-class formats still need external libs absent from this
-container and raise ``NotImplementedError`` (declared, not silently
-wrong). The deterministic fixture codec (header-parse + seeded synthesis
+bytes. JPEG and MP3 get header-only *metadata* (SOF marker walk for
+dimensions; MPEG frame-header walk for sample rate / channels /
+duration) — full entropy decode of either still needs external libs
+absent from this container and raises ``NotImplementedError``
+(declared, not silently wrong). The deterministic fixture codec (header-parse + seeded synthesis
 from the blob hash) remains behind ``fake=True`` for reproducible tests.
 
 At 100 TB: blobs dominate row size, so ``spark.sql.files.maxPartitionBytes``
@@ -109,6 +111,102 @@ def _jpeg_sof_dims(blob: bytes) -> Optional[tuple]:
             return None
         i += 2 + seg_len
     return None
+
+
+# --- MPEG audio (MP3) frame headers ---------------------------------------
+# Bitrate tables (kbps) indexed [1..14]; index 0 = free, 15 = bad.
+# Keys: (version_group, layer) where version_group is 1 for MPEG1 and
+# 2 for MPEG2/2.5 (which share tables).
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+             144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+             144, 160),
+}
+# Sample-rate tables indexed by the 2-bit sr index; keyed by version bits.
+_MP3_RATES = {3: (44100, 48000, 32000),     # MPEG1
+              2: (22050, 24000, 16000),     # MPEG2
+              0: (11025, 12000, 8000)}      # MPEG2.5
+
+
+def make_fake_mp3(sample_rate: int = 44100, n_frames: int = 4,
+                  channels: int = 2, bitrate_kbps: int = 128) -> bytes:
+    """Header-valid CBR MPEG-1 Layer III stream: empty ID3v2.3 tag +
+    ``n_frames`` frames whose 4-byte headers carry real rate/mode bits
+    but whose payloads are zeros (no entropy data) — exercises the frame
+    walker in :func:`media_metadata` without ffmpeg, the same trick
+    :func:`make_fake_jpeg` plays on the SOF walker."""
+    sr_idx = {44100: 0, 48000: 1, 32000: 2}[sample_rate]
+    br_idx = 1 + _MP3_BITRATES[(1, 3)].index(bitrate_kbps)
+    mode = 3 if channels == 1 else 0            # mono / stereo
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6])
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    id3 = b"ID3\x03\x00\x00\x00\x00\x00\x00"    # v2.3, no flags, size 0
+    return id3 + (hdr + b"\x00" * (frame_len - 4)) * n_frames
+
+
+def _mp3_frame_header(blob: bytes, i: int):
+    """Parse the 4-byte MPEG audio frame header at offset ``i`` →
+    (sample_rate, channels, samples_per_frame, frame_len) or None."""
+    if i + 4 > len(blob) or blob[i] != 0xFF or (blob[i + 1] & 0xE0) != 0xE0:
+        return None
+    ver = (blob[i + 1] >> 3) & 3                # 3=MPEG1 2=MPEG2 0=MPEG2.5
+    layer_bits = (blob[i + 1] >> 1) & 3         # 3=I 2=II 1=III
+    if ver == 1 or layer_bits == 0:
+        return None                             # reserved
+    layer = 4 - layer_bits                      # 1/2/3
+    br_idx = (blob[i + 2] >> 4) & 0xF
+    sr_idx = (blob[i + 2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:        # free-format unsupported
+        return None
+    vgroup = 1 if ver == 3 else 2
+    bitrate = _MP3_BITRATES[(vgroup, layer)][br_idx - 1] * 1000
+    sr = _MP3_RATES[ver][sr_idx]
+    pad = (blob[i + 2] >> 1) & 1
+    channels = 1 if ((blob[i + 3] >> 6) & 3) == 3 else 2
+    if layer == 1:
+        spf, frame_len = 384, (12 * bitrate // sr + pad) * 4
+    elif layer == 2:
+        spf, frame_len = 1152, 144 * bitrate // sr + pad
+    else:                                       # Layer III
+        spf = 1152 if ver == 3 else 576
+        frame_len = (144 if ver == 3 else 72) * bitrate // sr + pad
+    return (sr, channels, spf, frame_len) if frame_len > 4 else None
+
+
+def _mp3_stream_info(blob: bytes) -> Optional[tuple]:
+    """(sample_rate, channels, n_samples) from an MPEG audio stream:
+    skip any leading ID3v2 tag by its declared syncsafe size, then walk
+    CBR/VBR frame headers (4 bytes each, hop by declared frame length —
+    O(#frames), header-only, no entropy decode). Sample rate / channels
+    come from the first frame; ``n_samples`` = Σ samples-per-frame over
+    valid frames. Stops at the first invalid header (trailing tags)."""
+    n = len(blob)
+    i = 0
+    if n >= 10 and blob[:3] == b"ID3":
+        size = ((blob[6] & 0x7F) << 21) | ((blob[7] & 0x7F) << 14) | \
+               ((blob[8] & 0x7F) << 7) | (blob[9] & 0x7F)
+        i = 10 + size + (10 if blob[5] & 0x10 else 0)
+    first = _mp3_frame_header(blob, i)
+    if first is None:
+        return None
+    sr, channels, _, _ = first
+    n_samples = 0
+    while True:
+        h = _mp3_frame_header(blob, i)
+        if h is None:
+            break
+        n_samples += h[2]
+        i += h[3]
+    return (sr, channels, n_samples)
 
 
 def make_fake_audio(key: str, sample_rate: int, n_samples: int) -> bytes:
@@ -211,8 +309,11 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
     the two deterministic fixture formats (DSIM/DSAU). JPEG dims come
     from the first SOF marker (SOF0/SOF2/...), which sits at arbitrary
     offset after APP/EXIF segments — those rows take a per-row marker
-    walk (``_jpeg_sof_dims``), header-only, JPEG rows only. Full JPEG
-    *decode* still raises (libjpeg absent — ``decode_image``)."""
+    walk (``_jpeg_sof_dims``), header-only, JPEG rows only. MPEG audio
+    (MP3) likewise: ID3v2 skip + frame-header walk (``_mp3_stream_info``)
+    yields sample_rate and total samples, per-row on MP3 candidates
+    only. Full JPEG/MP3 *decode* still raises (libjpeg/ffmpeg absent —
+    ``decode_image``/``decode_audio``)."""
     from duke_spark.kernel.codecs import PNG_SIG
     pruned = df.select(F.col(id_col).alias("media_id"), F.col(blob_col))
     HEAD = 44
@@ -284,17 +385,33 @@ def media_metadata(df: DataFrame, id_col: str = "media_id",
             wns = np.where(has_data,
                            u32le(40) // np.maximum((wbits // 8) * wch, 1), 0)
             wav_ok = wav_canon & (wsr > 0)
+            # MPEG audio (MP3): sync/rate/mode bits live in 4-byte frame
+            # headers after an optional ID3v2 tag of declared size, so
+            # candidate rows (ID3 magic or frame sync at 0) pay a per-row
+            # frame walk (``_mp3_stream_info``) — header-only, MP3 rows
+            # only, same containment as the JPEG SOF walk above
+            is_mp3c = (eq(0, b"ID3") |
+                       ((heads[:, 0] == 0xFF) & ((heads[:, 1] & 0xE0)
+                                                 == 0xE0))) & ~wav_ok
+            mp3_ok = np.zeros(n, dtype=bool)
+            msr = np.zeros(n, dtype=np.int64)
+            mns = np.zeros(n, dtype=np.int64)
+            for idx in np.nonzero(is_mp3c)[0]:
+                info = _mp3_stream_info(bytes(blobs[idx]))
+                if info is not None:
+                    msr[idx], _, mns[idx] = info
+                    mp3_ok[idx] = True
 
             img_ok = dsim_ok | png_ok | jpg_ok
-            aud_ok = dsau_ok | wav_ok
+            aud_ok = dsau_ok | wav_ok | mp3_ok
             kind = np.where(img_ok, "image",
                             np.where(aud_ok, "audio", "unknown"))
             w = np.select([png_ok, jpg_ok], [pw, jw], default=fw)
             h = np.select([png_ok, jpg_ok], [ph, jh], default=fh)
             c = np.select([png_ok, jpg_ok], [pc, jc], default=fc)
-            sr = np.where(wav_ok, wsr, fsr)
-            ns = np.where(wav_ok, wns, fns)
-            ns_mask = aud_ok & (dsau_ok | has_data)
+            sr = np.select([wav_ok, mp3_ok], [wsr, msr], default=fsr)
+            ns = np.select([wav_ok, mp3_ok], [wns, mns], default=fns)
+            ns_mask = aud_ok & (dsau_ok | has_data | mp3_ok)
 
             def opt(vals, mask, cast=int):
                 return [cast(v) if m else None

@@ -294,3 +294,55 @@ def test_decode_image_still_raises_for_jpeg():
     unsupported (libjpeg absent)."""
     with pytest.raises(NotImplementedError):
         mm.decode_image(mm.make_fake_jpeg(8, 8))
+
+
+def test_metadata_parses_mp3_frame_headers(spark):
+    """MP3 sample rate / duration come from the MPEG frame-header walk
+    after an ID3v2 skip: plain CBR, tagless (sync at 0), a fat ID3 tag
+    pushing the first frame past the 44-byte head block, and a stream
+    with trailing garbage must all parse; sync-less bytes are invalid."""
+    import pandas as pd
+
+    plain = mm.make_fake_mp3(44100, n_frames=4)
+    tagless = plain[10:]
+    fat_payload = b"T" * 3000
+    fat = (b"ID3\x03\x00\x00" +
+           bytes([(len(fat_payload) >> 21) & 0x7F,
+                  (len(fat_payload) >> 14) & 0x7F,
+                  (len(fat_payload) >> 7) & 0x7F,
+                  len(fat_payload) & 0x7F]) + fat_payload + tagless)
+    mono = mm.make_fake_mp3(32000, n_frames=3, channels=1,
+                            bitrate_kbps=64)
+    trailing = plain + b"TAG" + b"\x00" * 125      # ID3v1 trailer
+    bad = b"\xff\x00" + b"\x00" * 40               # sync byte, no sync bits
+    df = spark.createDataFrame(pd.DataFrame({
+        "media_id": ["plain", "tagless", "fat", "mono", "trail", "bad"],
+        "blob": [plain, tagless, fat, mono, trailing, bad]}))
+    got = mm.media_metadata(df).toPandas().set_index("media_id")
+    for mid, (sr, ns) in {"plain": (44100, 4 * 1152),
+                          "tagless": (44100, 4 * 1152),
+                          "fat": (44100, 4 * 1152),
+                          "mono": (32000, 3 * 1152),
+                          "trail": (44100, 4 * 1152)}.items():
+        assert got.loc[mid, "kind"] == "audio" and bool(got.loc[mid, "valid"])
+        assert got.loc[mid, "sample_rate"] == sr
+        assert got.loc[mid, "n_samples"] == ns
+    assert got.loc["bad", "kind"] == "unknown"
+    assert not bool(got.loc["bad", "valid"])
+
+
+def test_mp3_mpeg2_layer3_spf():
+    """MPEG-2 Layer III frames carry 576 samples and use the 72-coef
+    frame length — exercised straight on the parser (no Spark)."""
+    # MPEG2 (ver bits 10 -> b1 0xF3), Layer III, 64 kbps idx 8, 22050 Hz
+    hdr = bytes([0xFF, 0xF3, (8 << 4) | (0 << 2), 0x00])
+    frame_len = 72 * 64000 // 22050
+    blob = (hdr + b"\x00" * (frame_len - 4)) * 5
+    assert mm._mp3_stream_info(blob) == (22050, 2, 5 * 576)
+
+
+def test_decode_audio_still_raises_for_mp3():
+    """Metadata parses MP3 headers, but full decode stays declared-
+    unsupported (ffmpeg absent)."""
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(mm.make_fake_mp3())
