@@ -837,6 +837,35 @@ def kg_conv_topics(spark, sf_dir):
     return describe_conversations(spark, mentions, ctx_bc)
 
 
+def _kg_edges(spark, sf_dir):
+    """Live-pipeline KG edges (B7): extract triples → aggregate to
+    unique (src, rel, dst) edge rows."""
+    from duke_spark.operators.graph import build_edges
+    from duke_spark.operators.triples import extract_triples
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    triples = extract_triples(transcripts, _corpus_context(spark, sf_dir))
+    return build_edges(triples)
+
+
+def kg_degrees(spark, sf_dir):
+    """Vertex degrees over the materialized KG (C25 graph analytics) —
+    integer-only, so the oracle (same counts re-derived in SQL from the
+    golden triples parquet) is float-free and hash-exact. Two hash aggs
+    + one full-outer join; both sides shrink to the vertex set before
+    joining, so the plan is vertex-cardinality, never edge-cardinality."""
+    from duke_spark.operators.graph import degrees
+    return degrees(_kg_edges(spark, sf_dir))
+
+
+def kg_two_hop(spark, sf_dir):
+    """Two-hop neighbor motif counts over the KG (C25) — distinct (a, c)
+    pairs via some middle vertex with path counts; hub middles above the
+    fan-out cap are excluded (none at test sf). Integer-only → oracle
+    hash-exact vs the golden triples parquet."""
+    from duke_spark.operators.graph import two_hop_neighbors
+    return two_hop_neighbors(_kg_edges(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_rollup": q1_pricing_rollup,
@@ -889,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_vertices": kg_vertices,
         "kg_duke_describe": kg_duke_describe,
         "kg_conv_topics": kg_conv_topics,
+        "kg_degrees": kg_degrees,
+        "kg_two_hop": kg_two_hop,
     }
 
 
@@ -1558,5 +1589,34 @@ def _kg_golden_oracles() -> dict[str, str]:
         "kg_conv_topics": f"""
             SELECT conv_id, topic, description, n_mentions
             FROM {rp('kg_conv_topics')}
+        """,
+        # kg_degrees / kg_two_hop: the Spark side runs the LIVE pipeline
+        # (extract_triples → build_edges → analytics); the oracle
+        # re-derives the same integer counts in SQL from the golden
+        # triples, so a linking/extraction/aggregation bug anywhere in
+        # the pipeline breaks these hashes too (float-free → exact).
+        "kg_degrees": f"""
+            WITH e AS (SELECT DISTINCT subj, pred, obj
+                       FROM {rp('kg_triples')}),
+            o AS (SELECT subj AS id, COUNT(*) AS out_deg FROM e
+                  GROUP BY subj),
+            i AS (SELECT obj AS id, COUNT(*) AS in_deg FROM e
+                  GROUP BY obj)
+            SELECT COALESCE(o.id, i.id) AS id,
+                   COALESCE(out_deg, 0) AS out_deg,
+                   COALESCE(in_deg, 0) AS in_deg,
+                   COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS degree
+            FROM o FULL OUTER JOIN i ON o.id = i.id
+        """,
+        "kg_two_hop": f"""
+            WITH e AS (SELECT DISTINCT subj, pred, obj
+                       FROM {rp('kg_triples')}),
+            d AS (SELECT obj AS mid, COUNT(*) AS d_in FROM e
+                  GROUP BY obj HAVING COUNT(*) <= 10000),
+            l AS (SELECT e.subj AS a, e.obj AS b FROM e
+                  JOIN d ON e.obj = d.mid),
+            r AS (SELECT subj AS b, obj AS c FROM e)
+            SELECT a, c, COUNT(*) AS n_paths
+            FROM l JOIN r USING (b) WHERE a <> c GROUP BY a, c
         """,
     }
