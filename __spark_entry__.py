@@ -708,6 +708,26 @@ def unigram_logloss_docs(spark, sf_dir):
     return unigram_logloss(_t(spark, sf_dir, "documents"))
 
 
+def tfidf_topk_docs(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (corpus keyword extraction,
+    C38) — deterministic top-k cut (6dp-rounded score, word tiebreak),
+    re-derived formula-for-formula in the DuckDB oracle."""
+    from duke_spark.operators.text_analysis import tfidf_topk
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
+def kg_entity_pmi(spark, sf_dir):
+    """Entity co-occurrence PMI over the live KG pipeline (extract →
+    PMI weighting): conversation-level pointwise mutual information per
+    co-mentioned entity pair. Oracle re-derives the counts + ln from the
+    golden triples parquet (same 6dp rounding)."""
+    from duke_spark.operators.graph import entity_cooccurrence_pmi
+    from duke_spark.operators.triples import extract_triples
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    triples = extract_triples(transcripts, _corpus_context(spark, sf_dir))
+    return entity_cooccurrence_pmi(triples)
+
+
 def stratified_sample_docs(spark, sf_dir):
     """Deterministic domain-mixing sample: per-source keep rates decided
     by md5(salt:doc_id) < threshold — a pure narrow filter, reproducible
@@ -911,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text_docs": clean_text_docs,
         "length_percentiles_docs": length_percentiles_docs,
         "unigram_logloss_docs": unigram_logloss_docs,
+        "tfidf_topk_docs": tfidf_topk_docs,
+        "kg_entity_pmi": kg_entity_pmi,
         "stratified_sample_docs": stratified_sample_docs,
         "contamination_docs": contamination_docs,
         "media_meta_docs": media_meta_docs,
@@ -1439,6 +1461,25 @@ def oracle_sql() -> dict[str, str]:
             FROM wf JOIN freq USING (word) CROSS JOIN tot
             GROUP BY doc_id
         """,
+        # tfidf_topk_docs: rank on the 6dp-ROUNDed score (both engines)
+        # with word-ascending tiebreak, so the top-k cut is identical
+        # even where ln() differs in the last ulp between JVM and DuckDB.
+        "tfidf_topk_docs": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))
+                              AS word FROM documents),
+            wf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+                   WHERE word <> '' GROUP BY doc_id, word),
+            dfq AS (SELECT word, COUNT(*) AS df FROM wf GROUP BY word),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs
+                   FROM documents),
+            s AS (SELECT doc_id, word, tf, df,
+                         ROUND(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+                  FROM wf JOIN dfq USING (word) CROSS JOIN nd),
+            r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, word ASC) AS rnk
+                  FROM s)
+            SELECT doc_id, word, tf, df, tfidf, rnk FROM r WHERE rnk <= 5
+        """,
         "stratified_sample_docs": _stratified_sample_oracle(),
         "contamination_docs": _contamination_oracle(),
         # media_meta_docs: the oracle re-derives sizes/dims from the same
@@ -1618,5 +1659,25 @@ def _kg_golden_oracles() -> dict[str, str]:
             r AS (SELECT subj AS b, obj AS c FROM e)
             SELECT a, c, COUNT(*) AS n_paths
             FROM l JOIN r USING (b) WHERE a <> c GROUP BY a, c
+        """,
+        "kg_entity_pmi": f"""
+            WITH ents AS (SELECT DISTINCT conv_id, obj AS entity
+                          FROM {rp('kg_triples')}
+                          WHERE pred = 'mentions'),
+            tot AS (SELECT COUNT(DISTINCT conv_id) AS n_total FROM ents),
+            marg AS (SELECT entity, COUNT(*) AS n_convs FROM ents
+                     GROUP BY entity),
+            pairs AS (SELECT l.entity AS ent_a, r.entity AS ent_b,
+                             COUNT(*) AS n_pairs
+                      FROM ents l JOIN ents r
+                        ON l.conv_id = r.conv_id AND l.entity < r.entity
+                      GROUP BY 1, 2)
+            SELECT ent_a, ent_b, n_pairs,
+                   ROUND(ln(n_pairs * 1.0 * n_total /
+                            (ma.n_convs * 1.0 * mb.n_convs)), 6) AS pmi
+            FROM pairs
+            JOIN marg ma ON pairs.ent_a = ma.entity
+            JOIN marg mb ON pairs.ent_b = mb.entity
+            CROSS JOIN tot
         """,
     }

@@ -188,3 +188,58 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     norm.unpersist()
     verts.unpersist()
     return ranks
+
+
+def entity_cooccurrence_pmi(triples: DataFrame, min_pairs: int = 1,
+                            max_entities_per_conv: int = 10000
+                            ) -> DataFrame:
+    """(ent_a, ent_b, n_pairs, pmi) — pointwise mutual information of
+    entity pairs co-mentioned in the same conversation, the standard
+    edge-weighting signal for KG densification (generalizes the flat
+    ``co_mentioned`` count the triple extractor already emits).
+
+    PMI = ln(P(a,b) / (P(a)·P(b))) with conversation-level events:
+    P(x) = convs mentioning x / N convs, P(a,b) = convs mentioning both
+    / N. All counts come from ONE deduplicated (conv, entity) relation:
+    a self-join keyed on conv_id for the pair counts (hub conversations
+    above ``max_entities_per_conv`` are excluded, the same fan-out guard
+    as ``two_hop_neighbors`` — a conv with E entities contributes E²
+    join rows), a per-entity hash agg for the marginals, and the N-convs
+    total cross-joined as a broadcast 1-row frame (no driver action).
+    Both marginal joins broadcast when the entity vocab is small; AQE
+    decides otherwise. Floats rounded to 6dp (repo cross-engine policy).
+
+    The deduplicated relation is persisted: it fans out to four plan
+    branches (self-join ×2, marginals, total), and recomputing the
+    upstream triple extraction (pandas-UDF matmul) per branch would
+    multiply the pipeline's dominant cost; the cached relation is tiny
+    (distinct conv × entity)."""
+    ents = (triples.filter(F.col("pred") == "mentions")
+            .select("conv_id", F.col("obj").alias("entity"))
+            .distinct().persist())
+    sizes = (ents.groupBy("conv_id")
+             .agg(F.count(F.lit(1)).alias("_n_ent"))
+             .filter(F.col("_n_ent") <= max_entities_per_conv)
+             .select("conv_id"))
+    bounded = ents.join(sizes, "conv_id")
+    pairs = (bounded.alias("l")
+             .join(bounded.alias("r"), "conv_id")
+             .filter(F.col("l.entity") < F.col("r.entity"))
+             .groupBy(F.col("l.entity").alias("ent_a"),
+                      F.col("r.entity").alias("ent_b"))
+             .agg(F.count(F.lit(1)).alias("n_pairs"))
+             .filter(F.col("n_pairs") >= min_pairs))
+    marg = ents.groupBy("entity").agg(F.count(F.lit(1)).alias("n_convs"))
+    total = ents.select("conv_id").distinct() \
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    return (pairs
+            .join(marg.select(F.col("entity").alias("ent_a"),
+                              F.col("n_convs").alias("_na")), "ent_a")
+            .join(marg.select(F.col("entity").alias("ent_b"),
+                              F.col("n_convs").alias("_nb")), "ent_b")
+            .crossJoin(F.broadcast(total))
+            .select("ent_a", "ent_b", "n_pairs",
+                    F.round(F.log(F.col("n_pairs").cast("double") *
+                                  F.col("n_total") /
+                                  (F.col("_na").cast("double") *
+                                   F.col("_nb"))), 6).alias("pmi")))

@@ -170,3 +170,39 @@ def normalize_clean(df: DataFrame, text_col: str = "text",
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def tfidf_topk(df: DataFrame, k: int = 5, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Top-k keywords per document by TF-IDF — the classic keyword /
+    topic-signal extractor for corpus curation (what gets indexed,
+    what a domain-mixing policy keys on).
+
+    score = tf · ln(N / df) with raw in-doc term frequency tf and
+    document frequency df; ties broken by word ascending so the top-k
+    cut is deterministic and cross-engine reproducible. Pure Catalyst:
+    one explode + (doc, word) hash agg (map-side partial combine), a
+    word-level agg for document frequencies off the SAME aggregate
+    (vocab-bounded), the N-docs total cross-joined as a broadcast 1-row
+    frame (no driver action), and a per-doc window for the top-k cut.
+    Scores rounded to 6dp (repo cross-engine float policy)."""
+    from pyspark.sql import Window
+
+    words = (df.select(id_col, F.explode(F.split(F.col(text_col), " "))
+                       .alias("word"))
+             .filter(F.col("word") != ""))
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (df.select(id_col).distinct()
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    scored = (tf.join(dfreq, "word")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.round(F.col("tf").cast("double") *
+                                  F.log(F.col("n_docs").cast("double") /
+                                        F.col("df")), 6)))
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("word"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "word", "tf", "df", "tfidf",
+                    F.col("rnk").cast("long").alias("rnk")))

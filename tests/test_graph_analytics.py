@@ -152,3 +152,36 @@ def test_shortest_paths_random_graph(spark):
     got = (shortest_paths(df, ["n0", "n1"], max_hops=20).toPandas()
            .set_index("id")["distance"].to_dict())
     assert got == _bfs_ref(edge_list, ["n0", "n1"])
+
+
+def test_entity_cooccurrence_pmi(spark):
+    """PMI pinned against hand-computed conversation-level counts, and
+    the hub-conversation cap excludes oversized conversations."""
+    import math
+
+    from duke_spark.operators.graph import entity_cooccurrence_pmi
+
+    # 4 convs; (a,b) co-occur in 2 of them; c rides along once
+    rows = []
+    for conv, ents in [("c1", ["a", "b"]), ("c2", ["a", "b", "c"]),
+                       ("c3", ["a"]), ("c4", ["b"])]:
+        for e in ents:
+            rows.append((conv, 0, f"conv:{conv}", "mentions", f"ent:{e}",
+                         0.5))
+    triples = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "subj",
+                                    "pred", "obj", "score"]))
+    out = entity_cooccurrence_pmi(triples).toPandas()
+    got = {(r.ent_a, r.ent_b): (r.n_pairs, r.pmi)
+           for r in out.itertuples()}
+    # P(ab)=2/4, P(a)=3/4, P(b)=3/4 → pmi = ln(2*4/(3*3))
+    assert got[("ent:a", "ent:b")] == (2, round(math.log(8 / 9), 6))
+    assert got[("ent:a", "ent:c")] == (1, round(math.log(4 / 3), 6))
+    assert got[("ent:b", "ent:c")] == (1, round(math.log(4 / 3), 6))
+    assert len(got) == 3
+    # cap: excluding convs with >2 entities drops c2, so (a,c)/(b,c)
+    # vanish and (a,b) drops to 1 pair; marginals stay corpus-wide
+    capped = entity_cooccurrence_pmi(triples, max_entities_per_conv=2) \
+        .toPandas()
+    cg = {(r.ent_a, r.ent_b): r.n_pairs for r in capped.itertuples()}
+    assert cg == {("ent:a", "ent:b"): 1}

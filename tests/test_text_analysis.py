@@ -96,3 +96,46 @@ def test_normalize_clean_unicode(spark):
     assert out[1] == "tabs and control chars here"
     assert out[2] == "edges"
     assert out[3] == ""
+
+
+def test_tfidf_topk_matches_numpy_reference(spark, docs):
+    """Scores and top-k cut pinned against a from-scratch Python
+    recompute on the same corpus (raw tf × ln(N/df), 6dp, word
+    tiebreak)."""
+    import math
+
+    from duke_spark.operators.text_analysis import tfidf_topk
+
+    out = tfidf_topk(docs, k=2).toPandas()
+    # reference: pure-Python recompute
+    tf, dfreq = {}, {}
+    for did, text in DOCS:
+        for w in text.split(" "):
+            if w:
+                tf[(did, w)] = tf.get((did, w), 0) + 1
+    for (_, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    n_docs = len(DOCS)
+    scored = [(did, w, c, dfreq[w],
+               round(c * math.log(n_docs / dfreq[w]), 6))
+              for (did, w), c in tf.items()]
+    expect = {}
+    for did in {d for d, _ in DOCS}:
+        rows = sorted((r for r in scored if r[0] == did),
+                      key=lambda r: (-r[4], r[1]))[:2]
+        for rnk, r in enumerate(rows, 1):
+            expect[(did, r[1])] = (r[2], r[3], r[4], rnk)
+    got = {(r.doc_id, r.word): (r.tf, r.df, r.tfidf, r.rnk)
+           for r in out.itertuples()}
+    assert got == expect
+
+
+def test_tfidf_topk_partition_invariance(spark, docs):
+    from duke_spark.operators.text_analysis import tfidf_topk
+
+    one = tfidf_topk(docs.coalesce(1), k=3).toPandas()
+    many = tfidf_topk(docs.repartition(7), k=3).toPandas()
+    key = ["doc_id", "word"]
+    pd.testing.assert_frame_equal(
+        one.sort_values(key).reset_index(drop=True),
+        many.sort_values(key).reset_index(drop=True))
