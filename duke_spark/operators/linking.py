@@ -144,9 +144,11 @@ def link_batch(pdf: pd.DataFrame, ctx: LinkContext) -> pd.DataFrame:
         dtype=object)
     codes, _ = pd.factorize(mention_strs)
     first_pos = np.unique(codes, return_index=True)[1]
-    # tokens never contain spaces (they come from whitespace splits), so
-    # the join/split round trip is lossless
-    uniq_groups = [mention_strs[i].split(" ") for i in first_pos]
+    # slice each unique group's tokens straight out of the flat token
+    # list by its boundary indices — no join/split round trip (the
+    # joined string is still what factorize keys on and what the output
+    # `mention` column carries)
+    uniq_groups = [toks_list[starts[i]:ends[i]] for i in first_pos]
 
     vecs = ctx.embedding.embed_groups(uniq_groups)
     scores = score_against_classes(vecs, ctx.class_matrix)
