@@ -840,7 +840,8 @@ def kg_vertices(spark, sf_dir):
 def kg_duke_describe(spark, sf_dir):
     """Full Duke EP1 semantics per conversation (role-as-source, headers
     source, whole-turn OOV rule, per-source tree fold, source mean) —
-    rows-only check; exact parity vs the oracle in pytest."""
+    hash-checked against the golden parquet from the NumPy oracle
+    (make_kg_golden.py), plus exact parity in pytest."""
     from duke_spark.operators.describe import describe_conversations_duke
     transcripts = _docs_as_transcripts(spark, sf_dir)
     return describe_conversations_duke(transcripts,
@@ -848,7 +849,8 @@ def kg_duke_describe(spark, sf_dir):
 
 
 def kg_conv_topics(spark, sf_dir):
-    """Per-conversation canonical topic (B6) — rows-only check."""
+    """Per-conversation canonical topic (B6) — hash-checked against the
+    golden parquet from the NumPy oracle (make_kg_golden.py)."""
     from duke_spark.operators.canonical import describe_conversations
     from duke_spark.operators.mentions import linked_mentions
     transcripts = _docs_as_transcripts(spark, sf_dir)
