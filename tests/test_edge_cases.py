@@ -123,3 +123,41 @@ def test_near_dup_pair_ops_on_empty_and_single(spark):
     out = cosine_near_dup_pairs(same, threshold=0.99,
                                 num_planes=2).toPandas()
     assert len(out) == 10 and (out["cosine"] == 1.0).all()
+
+
+def test_graph_analytics_on_empty_and_single(spark):
+    """Degrees / two-hop / PMI degrade gracefully: empty inputs yield
+    empty outputs with the right columns; a single mention yields no
+    pairs but a valid marginal."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from duke_spark.operators.graph import (degrees,
+                                            entity_cooccurrence_pmi,
+                                            two_hop_neighbors)
+
+    edge_schema = T.StructType([T.StructField("src", T.StringType()),
+                                T.StructField("dst", T.StringType())])
+    empty_edges = spark.createDataFrame([], schema=edge_schema)
+    d = degrees(empty_edges).toPandas()
+    assert list(d.columns) == ["id", "out_deg", "in_deg", "degree"]
+    assert len(d) == 0
+    assert len(two_hop_neighbors(empty_edges).toPandas()) == 0
+
+    tri_schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("score", T.DoubleType())])
+    empty_tri = spark.createDataFrame([], schema=tri_schema)
+    p = entity_cooccurrence_pmi(empty_tri).toPandas()
+    assert list(p.columns) == ["ent_a", "ent_b", "n_pairs", "pmi"]
+    assert len(p) == 0
+
+    single = spark.createDataFrame(
+        pd.DataFrame([("c1", 0, "conv:c1", "mentions", "ent:x", 0.5)],
+                     columns=["conv_id", "turn_idx", "subj", "pred",
+                              "obj", "score"]), schema=tri_schema)
+    assert len(entity_cooccurrence_pmi(single).toPandas()) == 0
