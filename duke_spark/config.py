@@ -16,9 +16,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+WORKER_ENV = (("OPENBLAS_NUM_THREADS", "1"), ("OMP_NUM_THREADS", "1"),
+              ("MKL_NUM_THREADS", "1"),
+              ("MALLOC_MMAP_THRESHOLD_", "1073741824"),
+              ("MALLOC_TRIM_THRESHOLD_", "1073741824"))
+
+
 def _set_worker_env() -> None:
-    """Worker-process environment (inherited by Python workers in local
-    mode; a real cluster sets the same via ``spark.executorEnv.*``):
+    """Worker-process environment:
 
     * one BLAS thread per task — tasks are the parallelism unit; letting
       OpenBLAS spawn nproc threads per worker oversubscribes the box;
@@ -27,11 +32,18 @@ def _set_worker_env() -> None:
       and default glibc serves those via mmap/munmap, whose TLB-shootdown
       IPIs serialize across many cores (measured 5× throughput loss at
       local[32]); keeping them on the heap lets workers reuse pages.
+
+    Two delivery channels, both needed:
+    * ``os.environ`` here — covers plain-``python`` launches, where this
+      process becomes the parent of the JVM and hence of every local-mode
+      Python worker;
+    * ``spark.executorEnv.*`` in :func:`get_spark` — covers
+      ``spark-submit``, where the JVM is the parent (workers inherit ITS
+      env, not this process's) and real clusters, where executors run on
+      other hosts. PySpark threads executorEnv through the Python worker
+      factory in local mode too, so both paths see the same settings.
     """
-    for k, v in (("OPENBLAS_NUM_THREADS", "1"), ("OMP_NUM_THREADS", "1"),
-                 ("MKL_NUM_THREADS", "1"),
-                 ("MALLOC_MMAP_THRESHOLD_", "1073741824"),
-                 ("MALLOC_TRIM_THRESHOLD_", "1073741824")):
+    for k, v in WORKER_ENV:
         os.environ.setdefault(k, v)
 
 
@@ -68,6 +80,13 @@ def get_spark(app_name: str = "duke_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # ship the worker env through Spark itself so spark-submit launches
+    # (JVM parent — workers never see this process's os.environ) and real
+    # multi-host executors get the BLAS/malloc settings; os.environ may
+    # carry an operator override, which wins
+    for k, v in WORKER_ENV:
+        builder = builder.config(f"spark.executorEnv.{k}",
+                                 os.environ.get(k, v))
     # caller overrides (e.g. scripts/skew_proof.py re-enables the UI to
     # read per-task durations from the status REST API)
     for k, v in (extra_conf or {}).items():

@@ -73,13 +73,29 @@ def gemm_ceiling(levels=LEVELS, units: int = 32) -> dict:
 
 
 def run_level(parallelism: int, input_path: str, out_root: str,
-              repeat: int) -> dict:
+              repeat: int, spark_submit: bool = False) -> dict:
     """Run build_kg at one parallelism level ``repeat`` times (fresh
     checkpoint dir each — resume must not skip work); keep the best
-    steady-state number."""
+    steady-state number.
+
+    ``spark_submit=True`` launches the north rule's literal deployment
+    shape — ``spark-submit --master local[P] --py-files
+    dist/duke_spark.zip jobs/build_kg.py`` — from a NEUTRAL cwd, so the
+    zip (not the repo on sys.path) is what ships the package to driver
+    and executors. Default stays the fresh-``python`` launch (same
+    process model, no spark-submit wrapper overhead in the timings)."""
+    # Worker env must be in the LAUNCHING process's environment: the
+    # plain-python path gets it from config._set_worker_env before the
+    # JVM starts, but under spark-submit the JVM is the parent of every
+    # Python worker, so anything not exported here never reaches them
+    # (and spark.driver.memory in builder conf is ignored once the JVM
+    # exists — it must ride the submit command line). Missing either
+    # re-creates the measured TLB-shootdown / GC losses.
     env = dict(os.environ,
                OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1",
-               MKL_NUM_THREADS="1")
+               MKL_NUM_THREADS="1",
+               MALLOC_MMAP_THRESHOLD_="1073741824",
+               MALLOC_TRIM_THRESHOLD_="1073741824")
     best = None
     runs = []
     for i in range(repeat):
@@ -88,13 +104,24 @@ def run_level(parallelism: int, input_path: str, out_root: str,
         # either skip all parts (timing nothing) or, if written by an
         # older engine version, be refused by the partition-scheme guard
         shutil.rmtree(out, ignore_errors=True)
-        cmd = [sys.executable, os.path.join(REPO, "jobs", "build_kg.py"),
-               "--input", input_path, "--out", out,
-               "--parallelism", str(parallelism),
-               "--scale", "reference", "--warmup"]
+        job_args = ["--input", input_path, "--out", out,
+                    "--parallelism", str(parallelism),
+                    "--scale", "reference", "--warmup"]
+        if spark_submit:
+            cmd = ["spark-submit", "--master", f"local[{parallelism}]",
+                   "--driver-memory",
+                   os.environ.get("DUKE_SPARK_DRIVER_MEM", "8g"),
+                   "--py-files", os.path.join(REPO, "dist",
+                                              "duke_spark.zip"),
+                   os.path.join(REPO, "jobs", "build_kg.py")] + job_args
+            cwd = out_root
+        else:
+            cmd = [sys.executable,
+                   os.path.join(REPO, "jobs", "build_kg.py")] + job_args
+            cwd = REPO
         t0 = time.time()
         proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
-                              cwd=REPO)
+                              cwd=cwd)
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-4000:])
             raise SystemExit(f"level {parallelism} run {i} failed")
@@ -115,8 +142,22 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/duke_spark_scaling")
     ap.add_argument("--levels", default=",".join(map(str, LEVELS)))
+    ap.add_argument("--spark-submit", action="store_true",
+                    help="launch each level via spark-submit --py-files "
+                         "dist/duke_spark.zip (north rule's literal "
+                         "deployment shape); builds the zip first")
+    ap.add_argument("--json-out", default=None,
+                    help="write the JSON record here INSTEAD of "
+                         "BENCH/scaling.json, and skip the "
+                         "BENCH/BASELINE.md rewrite (for replication "
+                         "runs that must not clobber the headline "
+                         "evidence)")
     args = ap.parse_args()
     levels = tuple(int(x) for x in args.levels.split(","))
+    if args.spark_submit:
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
+        import package as _pkg
+        _pkg.build()
 
     input_path = os.path.join(args.workdir, "transcripts.parquet")
     if not os.path.exists(input_path):
@@ -128,7 +169,8 @@ def main() -> None:
                                   hot_frac=0.3)
 
     ceiling = gemm_ceiling(levels)
-    results = {p: run_level(p, input_path, args.workdir, args.repeat)
+    results = {p: run_level(p, input_path, args.workdir, args.repeat,
+                            spark_submit=args.spark_submit)
                for p in levels}
     tps = {p: results[p]["best"]["triples_per_sec"] for p in levels}
 
@@ -154,11 +196,21 @@ def main() -> None:
         "gemm_ceiling_gflops": ceiling,
         "scaling_efficiency_4_to_16": eff_4_16,
         "scaling_efficiency_8_to_32": eff_8_32,
+        "hardware_ceiling_4_to_16": hw_eff(4, 16),
         "hardware_ceiling_8_to_32": hw_eff(8, 32),
         "meets_0.8_target": (eff_4_16 or 0) >= 0.8,
+        "launcher": "spark-submit --py-files" if args.spark_submit
+                    else "fresh python process",
     }
     bench_dir = os.path.join(REPO, "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(json.dumps({"triples_per_sec": payload["triples_per_sec"],
+                          "eff_4_16": eff_4_16, "eff_8_32": eff_8_32,
+                          "launcher": payload["launcher"]}))
+        return
     with open(os.path.join(bench_dir, "scaling.json"), "w") as f:
         json.dump(payload, f, indent=2)
 
