@@ -105,7 +105,9 @@ def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.col("turn_idx") % 3 + 1))
         .withColumn("tool", F.when(F.col("role") == "tool",
                                    F.col("tool")))
-        .withColumn("ts", F.lit("2026-01-01 00:00:00").cast("timestamp"))
+        .withColumn("ts", F.timestamp_seconds(
+            F.lit(1767225600).cast("long") +
+            F.col("turn_idx").cast("long") * 60))
         .select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
 
 
@@ -888,6 +890,59 @@ def kg_two_hop(spark, sf_dir):
     return two_hop_neighbors(_kg_edges(spark, sf_dir))
 
 
+def kg_components(spark, sf_dir):
+    """Connected components over the live KG (C25): iterative min-label
+    propagation (`dedup.connected_components`) on the undirected edge
+    set. Oracle: the same labels re-derived in DuckDB as a RECURSIVE-CTE
+    reachability closure over the golden triples — the first contract
+    query where an *iterative* Spark algorithm is hash-checked against a
+    SQL fixpoint, not just pytest-pinned."""
+    from duke_spark.operators.dedup import connected_components
+    pairs = _kg_edges(spark, sf_dir).select(F.col("src").alias("a"),
+                                            F.col("dst").alias("b"))
+    return connected_components(pairs)
+
+
+def kg_pagerank(spark, sf_dir):
+    """PageRank over the live KG (C25), 5 power iterations with dangling
+    redistribution. Oracle: the same 5 iterations UNROLLED as chained
+    DuckDB CTEs (contribs → total → damped update per step, identical
+    double-precision literals), ranks rounded 6dp on both sides."""
+    from duke_spark.operators.graph import pagerank
+    ranks = pagerank(_kg_edges(spark, sf_dir), iters=5)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def kg_entity_timeline(spark, sf_dir):
+    """Temporal KG attributes (first/last seen, conversation spread) per
+    entity — mention triples joined back to the turn table's ``ts`` on
+    (conv_id, turn_idx). Oracle re-derives ts arithmetically from
+    turn_idx (the synthetic clock is epoch+60·turn_idx) over the golden
+    triples."""
+    from duke_spark.operators.graph import entity_timeline
+    from duke_spark.operators.triples import extract_triples
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    triples = extract_triples(transcripts, _corpus_context(spark, sf_dir))
+    return entity_timeline(triples, transcripts)
+
+
+def neardup_clusters_docs(spark, sf_dir):
+    """Near-dup cluster resolution (C5b made driver-visible): MinHash+LSH
+    candidate pairs → connected components → one rollup row per dup
+    cluster (representative = min doc_id — the keep-one rule). Oracle:
+    the md5-twin LSH pair SQL feeding a RECURSIVE-CTE closure. This is
+    the full dedup *pipeline* (signatures → banding → graph → clusters)
+    hash-checked end-to-end, not its stages in isolation."""
+    from duke_spark.operators.dedup import (connected_components,
+                                            minhash_lsh_pairs_md5)
+    docs = _t_par(spark, sf_dir, "documents").select("doc_id", "text")
+    comps = connected_components(minhash_lsh_pairs_md5(docs))
+    return (comps.groupBy(F.col("comp").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("node").alias("min_doc"),
+                 F.max("node").alias("max_doc")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_rollup": q1_pricing_rollup,
@@ -944,6 +999,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_conv_topics": kg_conv_topics,
         "kg_degrees": kg_degrees,
         "kg_two_hop": kg_two_hop,
+        "kg_components": kg_components,
+        "kg_pagerank": kg_pagerank,
+        "kg_entity_timeline": kg_entity_timeline,
+        "neardup_clusters_docs": neardup_clusters_docs,
     }
 
 
@@ -1531,6 +1590,26 @@ def oracle_sql() -> dict[str, str]:
             FROM b GROUP BY doc_id
         """,
         "minhash_lsh_pairs_docs": _minhash_lsh_oracle(),
+        # neardup_clusters_docs: the LSH pair SQL above feeds a
+        # RECURSIVE-CTE reachability closure (the SQL twin of the
+        # iterative min-label propagation), then one rollup row per dup
+        # cluster. End-to-end pipeline oracle: signatures → banding →
+        # graph → clusters.
+        "neardup_clusters_docs": f"""
+            WITH RECURSIVE pairs AS ({_minhash_lsh_oracle()}),
+            e AS (SELECT a AS u, b AS v FROM pairs
+                  UNION SELECT b, a FROM pairs),
+            reach(id, lbl) AS (
+                SELECT u, u FROM e
+                UNION
+                SELECT e.u, r.lbl FROM reach r JOIN e ON r.id = e.v
+            ),
+            comp AS (SELECT id, MIN(lbl) AS cluster FROM reach
+                     GROUP BY id)
+            SELECT cluster, COUNT(*) AS n_docs,
+                   MIN(id) AS min_doc, MAX(id) AS max_doc
+            FROM comp GROUP BY cluster
+        """,
         "embedding_near_dups_docs": f"""
             WITH b AS (SELECT vec_id, embedding,
                               ({_coord_bucket_sql('embedding')}) AS bucket,
@@ -1599,6 +1678,47 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
+def _kg_pagerank_oracle(rp, iters: int = 5, damping: float = 0.85) -> str:
+    """DuckDB twin of graph.pagerank: the power iteration UNROLLED as
+    chained CTEs (recursive CTEs can't aggregate over the recursive
+    relation, so fixed-K unrolling is the SQL-expressible form). The
+    damped-update literals are emitted with repr() so the SQL uses the
+    exact same doubles Python computes (1.0 - 0.85 is NOT 0.15 in
+    binary); residual cross-engine drift is summation order, absorbed by
+    the 6dp round both sides apply."""
+    base = 1.0 - damping
+    parts = [f"""e AS (SELECT DISTINCT subj, pred, obj
+                       FROM {rp('kg_triples')}),
+            ed AS (SELECT subj AS src, obj AS dst FROM e),
+            outd AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM ed
+                     GROUP BY src),
+            norm AS (SELECT ed.src, ed.dst, CAST(1.0 AS DOUBLE) / od
+                         AS frac
+                     FROM ed JOIN outd USING (src)),
+            verts AS (SELECT src AS id FROM ed
+                      UNION SELECT dst FROM ed),
+            nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+            pr0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM verts)"""]
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        parts.append(f"""c{i} AS (SELECT norm.dst AS id,
+                        SUM(frac * p.r) AS contrib
+                 FROM norm JOIN {prev} p ON norm.src = p.id
+                 GROUP BY norm.dst),
+            t{i} AS (SELECT COALESCE(SUM(contrib), CAST(0 AS DOUBLE))
+                         AS tot FROM c{i}),
+            pr{i} AS (SELECT v.id,
+                         CAST({base!r} AS DOUBLE) +
+                         CAST({damping!r} AS DOUBLE) *
+                         (COALESCE(c{i}.contrib, CAST(0 AS DOUBLE)) +
+                          (nv.n - t{i}.tot) / nv.n) AS r
+                  FROM verts v LEFT JOIN c{i} ON v.id = c{i}.id
+                  CROSS JOIN t{i} CROSS JOIN nv)""")
+        prev = f"pr{i}"
+    return ("WITH " + ",\n            ".join(parts) +
+            f"\n            SELECT id, ROUND(r, 6) AS rank FROM {prev}")
+
+
 def _kg_golden_oracles() -> dict[str, str]:
     """Oracle SQL for the four KG queries: SELECT from the golden parquet
     written by ``scripts/make_kg_golden.py`` for the active sf dir (the
@@ -1661,6 +1781,35 @@ def _kg_golden_oracles() -> dict[str, str]:
             r AS (SELECT subj AS b, obj AS c FROM e)
             SELECT a, c, COUNT(*) AS n_paths
             FROM l JOIN r USING (b) WHERE a <> c GROUP BY a, c
+        """,
+        # kg_components: the Spark side is ITERATIVE min-label
+        # propagation; the oracle computes the same labels as a
+        # recursive reachability closure (id, reachable-label) and takes
+        # MIN per id — component label = min vertex id, both sides.
+        "kg_components": f"""
+            WITH RECURSIVE b AS (SELECT DISTINCT subj AS u, obj AS v
+                                 FROM {rp('kg_triples')}),
+            e AS (SELECT u, v FROM b UNION SELECT v, u FROM b),
+            reach(id, lbl) AS (
+                SELECT u, u FROM e
+                UNION
+                SELECT e.u, r.lbl FROM reach r JOIN e ON r.id = e.v
+            )
+            SELECT id AS node, MIN(lbl) AS comp FROM reach GROUP BY id
+        """,
+        "kg_pagerank": _kg_pagerank_oracle(rp),
+        "kg_entity_timeline": f"""
+            WITH m AS (SELECT conv_id, turn_idx, obj AS entity
+                       FROM {rp('kg_triples')}
+                       WHERE pred = 'mentions'),
+            j AS (SELECT entity, conv_id,
+                         TIMESTAMP '2026-01-01 00:00:00' +
+                             turn_idx * INTERVAL 1 MINUTE AS ts
+                  FROM m)
+            SELECT entity, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+                   COUNT(DISTINCT conv_id) AS n_convs,
+                   COUNT(*) AS n_mentions
+            FROM j GROUP BY entity
         """,
         "kg_entity_pmi": f"""
             WITH ents AS (SELECT DISTINCT conv_id, obj AS entity

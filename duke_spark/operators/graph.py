@@ -190,6 +190,32 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85,
     return ranks
 
 
+def entity_timeline(triples: DataFrame, turns: DataFrame) -> DataFrame:
+    """(entity, first_seen, last_seen, n_convs, n_mentions) — temporal KG
+    attributes per entity: when it first/last appears and how broadly
+    (the validity-interval signal temporal-KG stores attach to vertices;
+    the reference has no time axis — this generalizes its per-dataset
+    summary to the transcript payload's ``ts`` column).
+
+    One equi-join of mention triples back to the turn table on
+    (conv_id, turn_idx) — BOTH sides are projected to fixed-width
+    columns first (the turn side drops ``text`` before the exchange, so
+    the payload bytes never shuffle), then one hash agg per entity.
+    count_distinct(conv_id) is the only expansion: Spark rewrites it as
+    a two-phase expand+agg, still map-side partial. At 10^12 turns the
+    join is the same shape as the extraction itself (keyed on conv_id),
+    so AQE's skew handling covers hot conversations."""
+    m = (triples.filter(F.col("pred") == "mentions")
+         .select("conv_id", "turn_idx", F.col("obj").alias("entity")))
+    t = turns.select("conv_id", "turn_idx", "ts")
+    return (m.join(t, ["conv_id", "turn_idx"])
+            .groupBy("entity")
+            .agg(F.min("ts").alias("first_seen"),
+                 F.max("ts").alias("last_seen"),
+                 F.countDistinct("conv_id").alias("n_convs"),
+                 F.count(F.lit(1)).alias("n_mentions")))
+
+
 def entity_cooccurrence_pmi(triples: DataFrame, min_pairs: int = 1,
                             max_entities_per_conv: int = 10000
                             ) -> DataFrame:

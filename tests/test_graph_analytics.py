@@ -185,3 +185,51 @@ def test_entity_cooccurrence_pmi(spark):
         .toPandas()
     cg = {(r.ent_a, r.ent_b): r.n_pairs for r in capped.itertuples()}
     assert cg == {("ent:a", "ent:b"): 1}
+
+
+def test_entity_timeline(spark):
+    """first/last seen + spread pinned against a hand-computed fixture:
+    one entity across two conversations at different turns, one
+    single-mention entity, non-mention triples ignored."""
+    from duke_spark.operators.graph import entity_timeline
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    turns = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": [0, 1, 0],
+        "role": ["user", "assistant", "user"],
+        "text": ["t"] * 3,
+        "tool": [None] * 3,
+        "ts": [base, base + pd.Timedelta(minutes=7), base],
+    }))
+    rows = [
+        ("c1", 0, "conv:c1", "mentions", "ent:a", 0.5),
+        ("c1", 1, "conv:c1", "mentions", "ent:a", 0.5),
+        ("c2", 0, "conv:c2", "mentions", "ent:a", 0.5),
+        ("c1", 1, "conv:c1", "mentions", "ent:b", 0.5),
+        ("c1", 0, "conv:c1", "uses_tool", "tool:x", 0.5),  # ignored
+    ]
+    triples = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "subj",
+                                    "pred", "obj", "score"]))
+    out = entity_timeline(triples, turns).toPandas().set_index("entity")
+    assert len(out) == 2
+    a = out.loc["ent:a"]
+    assert a["first_seen"] == base
+    assert a["last_seen"] == base + pd.Timedelta(minutes=7)
+    assert a["n_convs"] == 2 and a["n_mentions"] == 3
+    b = out.loc["ent:b"]
+    assert b["first_seen"] == b["last_seen"] == base + \
+        pd.Timedelta(minutes=7)
+    assert b["n_convs"] == 1 and b["n_mentions"] == 1
+
+
+def test_entity_timeline_empty(spark):
+    from duke_spark.operators.graph import entity_timeline
+
+    turns = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, ts timestamp")
+    triples = spark.createDataFrame(
+        [], "conv_id string, turn_idx int, subj string, pred string, "
+            "obj string, score double")
+    assert entity_timeline(triples, turns).count() == 0
