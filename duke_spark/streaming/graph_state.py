@@ -1,0 +1,212 @@
+"""Incremental KG maintenance: keep the materialized graph (edge
+aggregates, degrees, connected components) current as triple batches
+arrive, WITHOUT recomputing over the full corpus per batch.
+
+The reference rebuilds its whole pipeline per request
+(``Duke/DukeRestListener.py:30-66``); at 100 TB a "refresh the KG"
+operation must instead be incremental: per micro-batch work proportional
+to the BATCH, with read-side folding and periodic compaction — the
+LSM contract ``streaming.ann_stream`` and ``streaming.neardup_stream``
+already follow. Two stores:
+
+``IncrementalEdgeStore`` — the KG edge materialization (B7's
+``build_edges`` output) maintained as per-epoch delta parquet dirs.
+``build_edges`` is a pure sum-aggregate, so per-batch partial aggregates
+fold associatively on read: ``read_edges`` == batch
+``build_edges(all_triples)`` exactly (tested). Degrees and any other
+edge-side analytic derive from the folded state — edge-cardinality,
+never triple-cardinality.
+
+Exactly-once: each epoch writes mode("overwrite") into a DETERMINISTIC
+``epoch=<run_id>-<epoch_id>`` directory, so an at-least-once replay of
+the same epoch overwrites its own delta instead of double-counting.
+``run_id`` must be 1:1 with the stream's checkpoint location (a restart
+FROM the checkpoint reuses both; a FRESH checkpoint reprocesses the
+source from scratch, so the store must be reset) — the store persists
+the run id in a ``_run_id`` marker and refuses a mismatched writer
+unless ``reset=True``, the failure mode ADVICE r3 flagged on the
+near-dup filter's epoch-keyed state.
+
+``IncrementalComponentStore`` — connected-component labels maintained
+under edge INSERTIONS. Per batch: map the batch's endpoints to their
+current labels (join keyed on node — the batch side is small and
+broadcasts), run ``dedup.connected_components`` on the label-level
+reduced graph (≤ 2·|batch| nodes, independent of graph size), then
+apply the resulting merge map to the label table with one broadcast
+join — a single narrow pass over state, no state-sized shuffle. Label
+merging is idempotent (re-adding the same edges merges nothing), so
+replay and even full fresh-checkpoint reprocessing are safe without
+epoch bookkeeping. The label invariant (comp = min node id of the
+component) matches batch ``connected_components`` — exact parity is
+tested per epoch, not just at the end.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duke_spark.operators.dedup import connected_components
+from duke_spark.operators.graph import build_edges, degrees
+
+DELTA_DIR = "deltas"
+ASSIGN_DIR = "assign"
+_BASE_EPOCH = "base"
+
+
+class IncrementalEdgeStore:
+    """foreachBatch processor maintaining KG edge aggregates as
+    per-epoch parquet deltas; see module docstring for the
+    exactly-once contract around ``run_id``."""
+
+    def __init__(self, path: str, run_id: str = "run0",
+                 reset: bool = False):
+        self.path = path
+        self.run_id = str(run_id)
+        if "-" in self.run_id or "/" in self.run_id:
+            raise ValueError("run_id must not contain '-' or '/'")
+        marker = os.path.join(path, "_run_id")
+        if reset:
+            shutil.rmtree(os.path.join(path, DELTA_DIR),
+                          ignore_errors=True)
+            if os.path.exists(marker):
+                os.remove(marker)
+        os.makedirs(path, exist_ok=True)
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                prev = fh.read().strip()
+            if prev != self.run_id:
+                raise ValueError(
+                    f"store at {path} was written by run_id={prev!r}; a "
+                    f"new run_id ({self.run_id!r}) means a fresh stream "
+                    "checkpoint that will re-ingest the source — pass "
+                    "reset=True to clear the store, or reuse the "
+                    "original run_id with the original checkpoint")
+        else:
+            with open(marker, "w") as fh:
+                fh.write(self.run_id)
+
+    def _epoch_dir(self, epoch_id) -> str:
+        return os.path.join(self.path, DELTA_DIR,
+                            f"epoch={self.run_id}-{epoch_id}")
+
+    def process(self, triple_batch: DataFrame, epoch_id: int) -> None:
+        """One micro-batch: batch-local edge aggregate → its own epoch
+        dir. O(batch) shuffle; replay overwrites the same dir."""
+        if triple_batch.isEmpty():
+            return
+        (build_edges(triple_batch)
+         .write.mode("overwrite").parquet(self._epoch_dir(epoch_id)))
+
+    def read_edges(self, spark: SparkSession) -> DataFrame:
+        """Fold every delta: sum-aggregates associate, so this equals
+        ``build_edges`` over all triples ever processed. Cost is
+        O(sum of delta sizes) — ``compact()`` keeps that bounded."""
+        cur = spark.read.parquet(os.path.join(self.path, DELTA_DIR))
+        return (cur.groupBy("src", "dst", "rel")
+                .agg(F.sum("weight").alias("weight"),
+                     F.sum("n").alias("n")))
+
+    def read_degrees(self, spark: SparkSession) -> DataFrame:
+        return degrees(self.read_edges(spark))
+
+    def compact(self, spark: SparkSession) -> int:
+        """Fold all deltas into a single ``epoch=<run>-base`` dir (the
+        tmp-swap pattern of ``ann_stream.compact``). Returns the folded
+        edge count. Replay interaction: a replayed epoch re-creates its
+        delta dir after compaction folded it — double count. Run
+        compact() only at a quiesced stream (stopped, or availableNow
+        drained), same as the ANN/near-dup maintenance hooks."""
+        folded = self.read_edges(spark)
+        deltas = os.path.join(self.path, DELTA_DIR)
+        tmp = deltas.rstrip("/") + ".compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (folded.coalesce(max(1, folded.sparkSession.sparkContext
+                             .defaultParallelism // 4))
+         .write.mode("overwrite")
+         .parquet(os.path.join(tmp, f"epoch={self.run_id}-{_BASE_EPOCH}")))
+        n = spark.read.parquet(tmp).count()
+        old = deltas.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(deltas, old)
+        os.replace(tmp, deltas)
+        shutil.rmtree(old, ignore_errors=True)
+        return n
+
+
+class IncrementalComponentStore:
+    """foreachBatch processor maintaining (node, comp) labels under edge
+    insertions; comp = min node id of the component, the same invariant
+    as batch ``connected_components`` (exact parity tested)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _assign_dir(self) -> str:
+        return os.path.join(self.path, ASSIGN_DIR)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        d = self._assign_dir()
+        if not os.path.exists(d):
+            return spark.createDataFrame([], "node string, comp string")
+        return spark.read.parquet(d)
+
+    def process(self, pair_batch: DataFrame, epoch_id: int = 0) -> None:
+        """One micro-batch of undirected (a, b) edge insertions.
+
+        Plan shape: the batch (small) joins the label table keyed on
+        node — Catalyst broadcasts the batch side; the reduced
+        label-graph CC runs on ≤ 2·|batch| nodes; the merge map
+        (≤ |batch| non-identity rows) broadcasts back over the label
+        table in one narrow pass. Nothing in the update is
+        graph-sized except the final state rewrite, which is a
+        shuffle-free column map + write."""
+        if pair_batch.isEmpty():
+            return
+        spark = pair_batch.sparkSession
+        prev = self.read(spark)
+
+        nodes = (pair_batch.select(F.col("a").alias("node"))
+                 .union(pair_batch.select(F.col("b").alias("node")))
+                 .distinct())
+        # current label of every touched node (itself if unseen)
+        cur = (nodes.join(prev, "node", "left")
+               .select("node", F.coalesce("comp", F.col("node"))
+                       .alias("comp")))
+        la = cur.select(F.col("node").alias("a"),
+                        F.col("comp").alias("ca"))
+        lb = cur.select(F.col("node").alias("b"),
+                        F.col("comp").alias("cb"))
+        reduced = (pair_batch.join(F.broadcast(la), "a")
+                   .join(F.broadcast(lb), "b")
+                   .filter(F.col("ca") != F.col("cb"))
+                   .select(F.col("ca").alias("a"), F.col("cb").alias("b")))
+        if reduced.isEmpty():
+            merge = None
+        else:
+            merge = (connected_components(reduced)
+                     .filter(F.col("node") != F.col("comp"))
+                     .select(F.col("node").alias("comp"),
+                             F.col("comp").alias("new_comp")))
+
+        new_nodes = cur.join(prev.select("node"), "node", "left_anti")
+        state = prev.unionByName(new_nodes)
+        if merge is not None:
+            state = (state.join(F.broadcast(merge), "comp", "left")
+                     .select("node", F.coalesce("new_comp", F.col("comp"))
+                             .alias("comp")))
+
+        d = self._assign_dir()
+        tmp = d.rstrip("/") + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        state.write.mode("overwrite").parquet(tmp)
+        old = d.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(d):
+            os.replace(d, old)
+        os.replace(tmp, d)
+        shutil.rmtree(old, ignore_errors=True)
