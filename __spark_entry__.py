@@ -926,6 +926,20 @@ def kg_entity_timeline(spark, sf_dir):
     return entity_timeline(triples, transcripts)
 
 
+def kg_ntriples(spark, sf_dir):
+    """Standard RDF N-Triples serialization of the live KG (C42
+    interop sink) — pure Catalyst concat over distinct triples with
+    IRI-safety enforced by the reject split. Oracle rebuilds the same
+    lines with string concatenation over the golden triples parquet —
+    byte-exact, so the export grammar itself is hash-checked."""
+    from duke_spark.operators.rdf import serialize_ntriples
+    from duke_spark.operators.triples import extract_triples
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    triples = extract_triples(transcripts, _corpus_context(spark, sf_dir))
+    lines, _rejects = serialize_ntriples(triples)
+    return lines
+
+
 def neardup_clusters_docs(spark, sf_dir):
     """Near-dup cluster resolution (C5b made driver-visible): MinHash+LSH
     candidate pairs → connected components → one rollup row per dup
@@ -1002,6 +1016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_components": kg_components,
         "kg_pagerank": kg_pagerank,
         "kg_entity_timeline": kg_entity_timeline,
+        "kg_ntriples": kg_ntriples,
         "neardup_clusters_docs": neardup_clusters_docs,
     }
 
@@ -1719,6 +1734,19 @@ def _kg_pagerank_oracle(rp, iters: int = 5, damping: float = 0.85) -> str:
             f"\n            SELECT id, ROUND(r, 6) AS rank FROM {prev}")
 
 
+def _nt_enc_sql(col: str) -> str:
+    """DuckDB twin of rdf._enc: the same ordered literal-replace chain
+    ('%' first), emitted as nested replace() calls."""
+    from duke_spark.operators.rdf import _IRI_ENC
+    expr = col
+    for raw, pct in _IRI_ENC:
+        raw_sql = raw.replace("'", "''")
+        expr = f"replace({expr}, '{raw_sql}', '{pct}')"
+        if raw == "\t":
+            expr = expr.replace("'\t'", "chr(9)")
+    return expr
+
+
 def _kg_golden_oracles() -> dict[str, str]:
     """Oracle SQL for the four KG queries: SELECT from the golden parquet
     written by ``scripts/make_kg_golden.py`` for the active sf dir (the
@@ -1798,6 +1826,12 @@ def _kg_golden_oracles() -> dict[str, str]:
             SELECT id AS node, MIN(lbl) AS comp FROM reach GROUP BY id
         """,
         "kg_pagerank": _kg_pagerank_oracle(rp),
+        "kg_ntriples": f"""
+            SELECT '<urn:duke:' || {_nt_enc_sql('subj')} ||
+                   '> <urn:duke:rel:' || {_nt_enc_sql('pred')} ||
+                   '> <urn:duke:' || {_nt_enc_sql('obj')} || '> .' AS nt
+            FROM (SELECT DISTINCT subj, pred, obj FROM {rp('kg_triples')})
+        """,
         "kg_entity_timeline": f"""
             WITH m AS (SELECT conv_id, turn_idx, obj AS entity
                        FROM {rp('kg_triples')}
