@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--num-parts", type=int, default=64)
     ap.add_argument("--graph", action="store_true",
                     help="also materialize vertices/edges parquet")
+    ap.add_argument("--export-nt", action="store_true",
+                    help="also export the triples as RDF N-Triples text"
+                         " (<out>/kg.nt; rejected control-char rows"
+                         " counted in metrics)")
     ap.add_argument("--scale", default="mini", choices=["mini", "reference"],
                     help="embedding/ontology scale: mini (D=32, ~30 classes,"
                          " test fixture) or reference (D=1000, 788 classes —"
@@ -115,6 +119,13 @@ def main() -> None:
                    triples_per_sec=n_triples / elapsed if elapsed else 0.0,
                    turns=n_turns, parallelism=args.parallelism,
                    skipped_parts=res["skipped"])
+
+    if args.export_nt:
+        from duke_spark.operators.rdf import write_ntriples
+        with metrics.time_stage("export_nt"):
+            n_rejected = write_ntriples(ck.read_triples(spark),
+                                        os.path.join(args.out, "kg.nt"))
+            metrics.record("export_nt_rejects", rows=n_rejected)
 
     if args.graph:
         with metrics.time_stage("graph"):

@@ -123,6 +123,23 @@ def test_read_foreign_nt_literals_and_escapes(spark, tmp_path):
     assert out.filter(F.col("subj").isNull()).count() == 1
 
 
+def test_roundtrip_adversarial_corpus(spark, tmp_path):
+    """One write→read cycle over a corpus built to break the encoding:
+    pre-encoded-looking text ('%20' must NOT decode to a space it never
+    was), '%' runs, every encodable char, mixes, tabs, backslash
+    sequences, unicode (legal in IRIs, passes through raw)."""
+    objs = ["ent:%20", "ent:%%25%", "ent:a b c", "ent:<>{}|^`",
+            "ent:back\\slash", "ent:\\n", "ent:tab\there",
+            "ent:naïve-café", "ent:日本語", "ent:%", "ent: ",
+            "ent:a%2 0b", "ent:.~-_", "ent:%255"]
+    t = _triples(spark, [("a", 0, "conv:a", "mentions", o, 0.5)
+                         for o in objs])
+    path = str(tmp_path / "adv.nt")
+    assert write_ntriples(t, path) == 0
+    got = sorted(r.obj for r in read_ntriples(spark, path).collect())
+    assert got == sorted(objs)
+
+
 def test_roundtrip_strips_base_prefixes(spark, tmp_path):
     t = _triples(spark, [("a", 0, "conv:a", "mentions", "ent:x", 0.5)])
     path = str(tmp_path / "kg.nt")
