@@ -926,6 +926,28 @@ def kg_entity_timeline(spark, sf_dir):
     return entity_timeline(triples, transcripts)
 
 
+def kg_pattern_match(spark, sf_dir):
+    """Declarative triple-pattern (BGP) matching compiled to Catalyst
+    joins (C43): conv —mentions→ e1 —co_mentioned→ e2 with e2 also
+    tool-linked — a 3-element pattern whose join order is picked by the
+    constants-first selectivity heuristic. Oracle: the same pattern as
+    an explicit 3-way self-join over the golden triples."""
+    from duke_spark.operators.pattern import match_pattern
+    from duke_spark.operators.triples import extract_triples
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    # persisted fan-out root (same rationale as kg_entity_pmi): the
+    # pattern scans the relation once per element, and for a COMPUTED
+    # relation each scan would re-run the extraction matmul; a
+    # parquet-backed triple store needs no persist (per-element scans
+    # are filter-pruned, which is cheaper).
+    triples = (extract_triples(transcripts,
+                               _corpus_context(spark, sf_dir))
+               .select("subj", "pred", "obj").persist())
+    return match_pattern(triples, [("?conv", "mentions", "?e1"),
+                                   ("?e1", "co_mentioned", "?e2"),
+                                   ("?e2", "used_tool", "?tool")])
+
+
 def kg_ntriples(spark, sf_dir):
     """Standard RDF N-Triples serialization of the live KG (C42
     interop sink) — pure Catalyst concat over distinct triples with
@@ -1017,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": kg_pagerank,
         "kg_entity_timeline": kg_entity_timeline,
         "kg_ntriples": kg_ntriples,
+        "kg_pattern_match": kg_pattern_match,
         "neardup_clusters_docs": neardup_clusters_docs,
     }
 
@@ -1826,6 +1849,16 @@ def _kg_golden_oracles() -> dict[str, str]:
             SELECT id AS node, MIN(lbl) AS comp FROM reach GROUP BY id
         """,
         "kg_pagerank": _kg_pagerank_oracle(rp),
+        "kg_pattern_match": f"""
+            WITH g AS (SELECT DISTINCT subj, pred, obj
+                       FROM {rp('kg_triples')})
+            SELECT DISTINCT m.subj AS conv, m.obj AS e1,
+                            c.obj AS e2, u.obj AS tool
+            FROM g m
+            JOIN g c ON c.subj = m.obj AND c.pred = 'co_mentioned'
+            JOIN g u ON u.subj = c.obj AND u.pred = 'used_tool'
+            WHERE m.pred = 'mentions'
+        """,
         "kg_ntriples": f"""
             SELECT '<urn:duke:' || {_nt_enc_sql('subj')} ||
                    '> <urn:duke:rel:' || {_nt_enc_sql('pred')} ||
