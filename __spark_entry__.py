@@ -948,6 +948,39 @@ def kg_pattern_match(spark, sf_dir):
                                    ("?e2", "used_tool", "?tool")])
 
 
+def kg_pattern_optional(spark, sf_dir):
+    """SPARQL OPTIONAL + FILTER NOT EXISTS over the live KG (C44):
+    conversations and their mentioned entities that are NOT tool-linked
+    (anti-join negation), each with its co-mentioned neighbor where one
+    exists (left-join optional, NULL→'∅' for a driver-stable hash).
+    Oracle: the same left join + NOT EXISTS over the golden triples."""
+    from duke_spark.operators.pattern import match_pattern
+    from duke_spark.operators.triples import extract_triples
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    triples = (extract_triples(transcripts,
+                               _corpus_context(spark, sf_dir))
+               .select("subj", "pred", "obj").persist())
+    out = match_pattern(triples, [("?conv", "mentions", "?e")],
+                        negate=[[("?e", "used_tool", "?t")]],
+                        optional=[[("?e", "co_mentioned", "?nbr")]])
+    return out.select("conv", "e",
+                      F.coalesce("nbr", F.lit("∅")).alias("nbr"))
+
+
+def kg_reachability(spark, sf_dir):
+    """Bounded property path co_mentioned{1,3} over the live KG (C44):
+    all entity pairs within 3 co-mention hops, hops = shortest path
+    length, via BFS frontier expansion with per-hop anti-join. Oracle:
+    a DuckDB RECURSIVE CTE walk bounded at 3 hops, MIN(hops) per pair."""
+    from duke_spark.operators.pattern import match_path
+    from duke_spark.operators.triples import extract_triples
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    triples = (extract_triples(transcripts,
+                               _corpus_context(spark, sf_dir))
+               .select("subj", "pred", "obj").persist())
+    return match_path(triples, "co_mentioned", max_hops=3)
+
+
 def kg_ntriples(spark, sf_dir):
     """Standard RDF N-Triples serialization of the live KG (C42
     interop sink) — pure Catalyst concat over distinct triples with
@@ -1040,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_timeline": kg_entity_timeline,
         "kg_ntriples": kg_ntriples,
         "kg_pattern_match": kg_pattern_match,
+        "kg_pattern_optional": kg_pattern_optional,
+        "kg_reachability": kg_reachability,
         "neardup_clusters_docs": neardup_clusters_docs,
     }
 
@@ -1858,6 +1893,32 @@ def _kg_golden_oracles() -> dict[str, str]:
             JOIN g c ON c.subj = m.obj AND c.pred = 'co_mentioned'
             JOIN g u ON u.subj = c.obj AND u.pred = 'used_tool'
             WHERE m.pred = 'mentions'
+        """,
+        "kg_pattern_optional": f"""
+            WITH g AS (SELECT DISTINCT subj, pred, obj
+                       FROM {rp('kg_triples')}),
+            m AS (SELECT DISTINCT subj AS conv, obj AS e
+                  FROM g WHERE pred = 'mentions'),
+            opt AS (SELECT DISTINCT subj AS e, obj AS nbr
+                    FROM g WHERE pred = 'co_mentioned')
+            SELECT DISTINCT m.conv, m.e, COALESCE(opt.nbr, '∅') AS nbr
+            FROM m LEFT JOIN opt USING (e)
+            WHERE NOT EXISTS (SELECT 1 FROM g n
+                              WHERE n.pred = 'used_tool'
+                                AND n.subj = m.e)
+        """,
+        "kg_reachability": f"""
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT subj AS src, obj AS dst
+                FROM {rp('kg_triples')} WHERE pred = 'co_mentioned'),
+            walk(src, dst, hops) AS (
+                SELECT src, dst, 1 FROM e
+                UNION ALL
+                SELECT w.src, e.dst, w.hops + 1
+                FROM walk w JOIN e ON e.src = w.dst
+                WHERE w.hops < 3)
+            SELECT src, dst, MIN(hops) AS hops
+            FROM walk GROUP BY src, dst
         """,
         "kg_ntriples": f"""
             SELECT '<urn:duke:' || {_nt_enc_sql('subj')} ||

@@ -31,6 +31,30 @@ The final projection is DISTINCT over the variable columns (set
 semantics, like SPARQL SELECT DISTINCT) so duplicate triples never
 multiply results.
 
+Beyond the required BGP, two SPARQL-core compositions compile to the
+obvious Catalyst join types:
+
+  * ``optional=[pattern, ...]`` — SPARQL OPTIONAL: each optional group
+    is itself a BGP, compiled with the same machinery and LEFT OUTER
+    joined on its shared variables; its new variables come back NULL
+    where the group found no match (never eliminating required rows);
+  * ``negate=[pattern, ...]`` — SPARQL FILTER NOT EXISTS / MINUS: each
+    group is a BGP whose matches REMOVE bindings, i.e. a LEFT ANTI
+    join on the shared variables — Catalyst's anti-join needs only the
+    join keys from the subquery, so the negation never widens the row.
+
+Evaluation order is required BGP → negations → optionals (all against
+the required bindings), the common SPARQL shape ``{ BGP FILTER NOT
+EXISTS {...} OPTIONAL {...} }``; an optional that should survive a
+negation belongs in a second match_pattern call.
+
+``match_path`` is the bounded property path (SPARQL ``pred{1,k}``):
+BFS frontier expansion over the DISTINCT edge set of one predicate,
+each hop one join + anti-join against the already-discovered pairs, so
+a pair's ``hops`` is its SHORTEST path length. Bounded k is a feature,
+not a shortcut: an unbounded transitive closure over a social-shaped
+graph is O(V²) output and no engine should produce it implicitly.
+
 Scale: k-element patterns are k-1 joins over the triples relation —
 exactly what a dedicated RDF store does, minus its specialized
 indexes; partition-pruned parquet (predicate-partitioned layouts) slots
@@ -49,10 +73,7 @@ def _is_var(term: str) -> bool:
     return isinstance(term, str) and term.startswith("?")
 
 
-def match_pattern(triples: DataFrame, pattern: list[tuple[str, str, str]]
-                  ) -> DataFrame:
-    """See module docstring. ``triples`` needs subj/pred/obj columns;
-    extras are ignored. Returns DISTINCT variable bindings."""
+def _check_pattern(pattern):
     if not pattern:
         raise ValueError("empty pattern")
     for el in pattern:
@@ -61,7 +82,9 @@ def match_pattern(triples: DataFrame, pattern: list[tuple[str, str, str]]
         if not any(_is_var(t) for t in el):
             raise ValueError(f"element binds no variable: {el!r}")
 
-    base = triples.select(*_POS)
+
+def _compile_bgp(base: DataFrame, pattern) -> tuple[DataFrame, set]:
+    """Compile one BGP to (DISTINCT-bindings DataFrame, variable set)."""
 
     def compile_element(el):
         df = base
@@ -105,4 +128,88 @@ def match_pattern(triples: DataFrame, pattern: list[tuple[str, str, str]]
                 "disconnected pattern: remaining elements share no "
                 f"variable with {sorted(bound)} — a cartesian product; "
                 "split the query instead")
+    return out, bound
+
+
+def match_pattern(triples: DataFrame, pattern: list[tuple[str, str, str]],
+                  optional: list[list[tuple[str, str, str]]] | None = None,
+                  negate: list[list[tuple[str, str, str]]] | None = None,
+                  ) -> DataFrame:
+    """See module docstring. ``triples`` needs subj/pred/obj columns;
+    extras are ignored. Returns DISTINCT variable bindings; variables
+    introduced only by an ``optional`` group are nullable."""
+    _check_pattern(pattern)
+    base = triples.select(*_POS)
+    out, bound = _compile_bgp(base, pattern)
+
+    for neg in (negate or []):
+        _check_pattern(neg)
+        ndf, nvars = _compile_bgp(base, neg)
+        shared = bound & nvars
+        if not shared:
+            raise ValueError(
+                f"negation group shares no variable with {sorted(bound)}"
+                " — it would remove all or no rows; bind a shared var")
+        # anti-join needs only the join keys from the subquery side
+        out = out.join(ndf.select(*sorted(shared)).distinct(),
+                       list(shared), "left_anti")
+
+    for opt in (optional or []):
+        _check_pattern(opt)
+        odf, ovars = _compile_bgp(base, opt)
+        shared = bound & ovars
+        if not shared:
+            raise ValueError(
+                f"optional group shares no variable with {sorted(bound)}"
+                " — it would cross-join; bind a shared var")
+        new = ovars - bound
+        if not new:
+            raise ValueError(
+                "optional group binds no new variable — use the required"
+                " pattern (or negate=) instead")
+        out = out.join(odf, list(shared), "left_outer")
+        bound |= new
+
     return out.select(*sorted(bound)).distinct()
+
+
+def match_path(triples: DataFrame, pred: str, max_hops: int = 3
+               ) -> DataFrame:
+    """Bounded property path ``pred{1,max_hops}``: all (src, dst, hops)
+    pairs connected by 1..max_hops edges of one predicate, ``hops`` the
+    shortest such length. See module docstring for the scale rationale
+    behind the mandatory bound.
+
+    One Spark job per hop (an ``isEmpty`` action to stop early — same
+    one-action-per-iteration posture as pagerank/CC); each frontier is
+    persisted so the next hop's join doesn't recompute the lineage, and
+    unpersisted once consumed.
+    """
+    if max_hops < 1:
+        raise ValueError("max_hops must be >= 1")
+    edges = (triples.filter(F.col("pred") == F.lit(pred))
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+             .distinct().persist())
+    known = edges.withColumn("hops", F.lit(1)).persist()
+    frontier = known
+    retired = []
+    for h in range(2, max_hops + 1):
+        nxt = (frontier.select("src", F.col("dst").alias("_mid"))
+               .join(edges.select(F.col("src").alias("_mid"), "dst"),
+                     "_mid")
+               .select("src", "dst").distinct()
+               # keep only newly-discovered pairs → hops is shortest
+               .join(known.select("src", "dst"), ["src", "dst"],
+                     "left_anti")
+               .withColumn("hops", F.lit(h)).persist())
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        new_known = known.unionByName(nxt).persist()
+        retired.append(known)
+        known, frontier = new_known, nxt
+    out = known
+    edges.unpersist()
+    for df in retired:
+        df.unpersist()
+    return out

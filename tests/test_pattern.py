@@ -5,7 +5,7 @@ disconnected-pattern guard."""
 import pandas as pd
 import pytest
 
-from duke_spark.operators.pattern import match_pattern
+from duke_spark.operators.pattern import match_path, match_pattern
 
 
 @pytest.fixture()
@@ -93,3 +93,161 @@ def test_no_variable_element_raises(kg):
 def test_empty_pattern_raises(kg):
     with pytest.raises(ValueError, match="empty pattern"):
         match_pattern(kg, [])
+
+
+# --- OPTIONAL / negation -------------------------------------------------
+
+
+def test_optional_keeps_unmatched_rows_with_null(kg):
+    out = match_pattern(kg, [("?conv", "mentions", "?e")],
+                        optional=[[("?e", "used_tool", "?t")]])
+    assert sorted(out.columns) == ["conv", "e", "t"]
+    assert _rows(out) == {("conv:1", "ent:a", "tool:t"),
+                          ("conv:1", "ent:b", None),
+                          ("conv:2", "ent:b", None)}
+
+
+def test_optional_never_multiplies(kg, spark):
+    """Two optional matches for one binding add rows, not duplicates of
+    unmatched bindings."""
+    import pandas as pd
+    extra = spark.createDataFrame(pd.DataFrame(
+        [("ent:a", "used_tool", "tool:u")], columns=["subj", "pred", "obj"]))
+    out = match_pattern(kg.unionByName(extra),
+                        [("?conv", "mentions", "?e")],
+                        optional=[[("?e", "used_tool", "?t")]])
+    assert _rows(out) == {("conv:1", "ent:a", "tool:t"),
+                          ("conv:1", "ent:a", "tool:u"),
+                          ("conv:1", "ent:b", None),
+                          ("conv:2", "ent:b", None)}
+
+
+def test_multi_element_optional_group(kg):
+    """An optional group that is itself a 2-element BGP joins as a unit:
+    partial matches inside the group do NOT bind."""
+    out = match_pattern(kg, [("?conv", "mentions", "?e")],
+                        optional=[[("?e", "co_mentioned", "?f"),
+                                   ("?f", "co_mentioned", "?g")]])
+    # only ent:a has a 2-hop chain (a→b→c); ent:b's 1-hop b→c is partial
+    assert _rows(out) == {("conv:1", "ent:a", "ent:b", "ent:c"),
+                          ("conv:1", "ent:b", None, None),
+                          ("conv:2", "ent:b", None, None)}
+
+
+def test_negation_removes_matched_bindings(kg):
+    out = match_pattern(kg, [("?conv", "mentions", "?e")],
+                        negate=[[("?e", "used_tool", "?t")]])
+    assert sorted(out.columns) == ["conv", "e"]  # ?t never projected
+    assert _rows(out) == {("conv:1", "ent:b"), ("conv:2", "ent:b")}
+
+
+def test_negation_then_optional(kg):
+    out = match_pattern(kg, [("?conv", "mentions", "?e")],
+                        negate=[[("?e", "used_tool", "?t")]],
+                        optional=[[("?e", "co_mentioned", "?f")]])
+    assert _rows(out) == {("conv:1", "ent:b", "ent:c"),
+                          ("conv:2", "ent:b", "ent:c")}
+
+
+def test_optional_shares_no_var_raises(kg):
+    with pytest.raises(ValueError, match="optional group shares no"):
+        match_pattern(kg, [("?conv", "mentions", "?e")],
+                      optional=[[("?x", "likes", "?y")]])
+
+
+def test_optional_binds_no_new_var_raises(kg):
+    with pytest.raises(ValueError, match="binds no new variable"):
+        match_pattern(kg, [("?conv", "mentions", "?e")],
+                      optional=[[("?conv", "mentions", "?e")]])
+
+
+def test_negation_shares_no_var_raises(kg):
+    with pytest.raises(ValueError, match="negation group shares no"):
+        match_pattern(kg, [("?conv", "mentions", "?e")],
+                      negate=[[("?x", "likes", "?y")]])
+
+
+# --- property paths ------------------------------------------------------
+
+
+@pytest.fixture()
+def chain(spark):
+    """a→b→c→d→a cycle plus a shortcut a→c; duplicate edge rows."""
+    import pandas as pd
+    rows = [("a", "r", "b"), ("b", "r", "c"), ("c", "r", "d"),
+            ("d", "r", "a"), ("a", "r", "c"), ("a", "r", "b"),
+            ("a", "other", "zzz")]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["subj", "pred", "obj"]))
+
+
+def test_path_one_hop_is_distinct_edges(chain):
+    out = match_path(chain, "r", max_hops=1)
+    assert _rows(out) == {("a", "b", 1), ("b", "c", 1), ("c", "d", 1),
+                          ("d", "a", 1), ("a", "c", 1)}
+
+
+def test_path_shortest_hops_wins(chain):
+    """a→c exists directly AND via b; hops must be the shortest (1)."""
+    out = match_path(chain, "r", max_hops=3)
+    got = {(r.src, r.dst): r.hops for r in out.collect()}
+    assert got[("a", "c")] == 1
+    assert got[("a", "d")] == 2    # a→c→d, not a→b→c→d
+    assert got[("b", "d")] == 2
+    assert got[("c", "a")] == 2
+    assert got[("b", "a")] == 3
+    assert got[("a", "a")] == 3    # cycle back via a→c→d→a
+
+
+def test_path_bound_respected(chain):
+    out = match_path(chain, "r", max_hops=2)
+    assert out.agg({"hops": "max"}).collect()[0][0] == 2
+    assert ("b", "a", 3) not in _rows(out)
+
+
+def test_path_early_stop_on_converged_graph(spark):
+    """Frontier empties before max_hops — result identical to exact
+    closure, no phantom rows."""
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame(
+        [("a", "r", "b"), ("b", "r", "c")],
+        columns=["subj", "pred", "obj"]))
+    out = match_path(df, "r", max_hops=10)
+    assert _rows(out) == {("a", "b", 1), ("b", "c", 1), ("a", "c", 2)}
+
+
+def test_path_vs_python_oracle_random_graph(spark):
+    """Spark BFS closure == pure-Python BFS on a random digraph."""
+    import random
+
+    import pandas as pd
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)}
+    df = spark.createDataFrame(pd.DataFrame(
+        [(s, "r", d) for s, d in edges], columns=["subj", "pred", "obj"]))
+    k = 4
+    # python oracle: BFS per source over the same edge set
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    expect = {}
+    for src in nodes:
+        frontier, seen = {src}, {}
+        for h in range(1, k + 1):
+            frontier = {d for s in frontier for d in adj.get(s, ())}
+            frontier -= set(seen)
+            if not frontier:
+                break
+            for d in frontier:
+                seen[d] = h
+        for d, h in seen.items():
+            expect[(src, d)] = h
+    got = {(r.src, r.dst): r.hops
+           for r in match_path(df, "r", max_hops=k).collect()}
+    assert got == expect
+
+
+def test_path_bad_bound_raises(chain):
+    with pytest.raises(ValueError, match="max_hops"):
+        match_path(chain, "r", max_hops=0)
