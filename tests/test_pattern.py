@@ -251,3 +251,44 @@ def test_path_vs_python_oracle_random_graph(spark):
 def test_path_bad_bound_raises(chain):
     with pytest.raises(ValueError, match="max_hops"):
         match_path(chain, "r", max_hops=0)
+
+
+# --- physical-plan assertions -------------------------------------------
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pattern_constants_push_to_parquet_scan(spark, kg, tmp_path):
+    """Over a parquet triple store, each element's constants must reach
+    the scan as PushedFilters — the property that lets a
+    predicate-partitioned layout prune at 100 TB."""
+    path = str(tmp_path / "triples")
+    kg.write.parquet(path)
+    stored = spark.read.parquet(path)
+    plan = _plan(match_pattern(stored, [("?c", "mentions", "?e"),
+                                        ("?e", "used_tool", "?t")]))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert any("mentions" in ln for ln in pushed), plan
+    assert any("used_tool" in ln for ln in pushed), plan
+
+
+def test_negation_is_anti_join_not_filter_scan(kg):
+    """negate= must compile to a left anti join (keys-only), not any
+    rewrite that would widen or re-scan per row."""
+    plan = _plan(match_pattern(kg, [("?conv", "mentions", "?e")],
+                               negate=[[("?e", "used_tool", "?t")]]))
+    assert "LeftAnti" in plan, plan
+
+
+def test_optional_is_left_outer_join(kg):
+    plan = _plan(match_pattern(kg, [("?conv", "mentions", "?e")],
+                               optional=[[("?e", "co_mentioned", "?f")]]))
+    assert "LeftOuter" in plan, plan

@@ -115,6 +115,35 @@ def test_fact_support_rollup(spark):
     assert got[("ent:a", "used_tool", "tool:t")] == (1, 1, 1.0, 1.0)
 
 
+def test_filter_rules_have_no_exchange(spark, kg):
+    """Prefix/irreflexive/vocab rules must compile to shuffle-free
+    narrow plans — only the cardinality and domain rules may exchange."""
+    import contextlib
+    import io
+    out = validate_graph(kg, {
+        "mentions": {"subject_prefix": "conv:", "object_prefix": "ent:"},
+        "co_mentioned": {"irreflexive": True},
+    }, closed=True)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the only exchanges allowed are for the per-rule DISTINCTs
+    # (hash agg on the report key); no join should appear at all
+    assert "Join" not in plan, plan
+
+
+def test_domain_rule_is_anti_join(spark, kg):
+    import contextlib
+    import io
+    out = validate_graph(kg, {
+        "used_tool": {"subject_in": ("mentions", "obj")}})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    assert "LeftAnti" in buf.getvalue()
+
+
 def test_fact_support_partition_invariance(spark):
     rows = [("ent:%d" % (i % 7), "p", "ent:%d" % (i % 3),
              "c%d" % (i % 5), i, float(i % 11) / 10) for i in range(200)]
