@@ -39,6 +39,13 @@ def main() -> None:
                     help="also export the triples as RDF N-Triples text"
                          " (<out>/kg.nt; rejected control-char rows"
                          " counted in metrics)")
+    ap.add_argument("--validate", action="store_true",
+                    help="run the SHACL-lite quality gate over the"
+                         " emitted triples (<out>/violations parquet;"
+                         " per-rule counts in metrics)")
+    ap.add_argument("--fact-support", action="store_true",
+                    help="also materialize the per-fact provenance"
+                         " rollup (<out>/fact_support parquet)")
     ap.add_argument("--scale", default="mini", choices=["mini", "reference"],
                     help="embedding/ontology scale: mini (D=32, ~30 classes,"
                          " test fixture) or reference (D=1000, 788 classes —"
@@ -126,6 +133,38 @@ def main() -> None:
             n_rejected = write_ntriples(ck.read_triples(spark),
                                         os.path.join(args.out, "kg.nt"))
             metrics.record("export_nt_rejects", rows=n_rejected)
+
+    if args.validate:
+        from pyspark.sql import functions as F
+
+        from duke_spark.operators.validation import validate_graph
+        with metrics.time_stage("validate"):
+            report = validate_graph(ck.read_triples(spark), {
+                "mentions": {"subject_prefix": "conv:",
+                             "object_prefix": "ent:"},
+                "co_mentioned": {"subject_prefix": "ent:",
+                                 "object_prefix": "ent:",
+                                 "irreflexive": True},
+                "used_tool": {"subject_prefix": "ent:",
+                              "object_prefix": "tool:",
+                              "subject_in": ("mentions", "obj")},
+            }, closed=True)
+            report.write.mode("overwrite").parquet(
+                os.path.join(args.out, "violations"))
+            by_rule = {r["rule"]: int(r["n"]) for r in
+                       spark.read.parquet(os.path.join(args.out,
+                                                       "violations"))
+                       .groupBy("rule").agg(F.count("*").alias("n"))
+                       .collect()}
+            metrics.record("validate_violations", **(by_rule or
+                                                     {"none": 0}))
+
+    if args.fact_support:
+        from duke_spark.operators.triples import fact_support
+        with metrics.time_stage("fact_support"):
+            fact_support(ck.read_triples(spark)).write.mode(
+                "overwrite").parquet(os.path.join(args.out,
+                                                  "fact_support"))
 
     if args.graph:
         with metrics.time_stage("graph"):

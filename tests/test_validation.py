@@ -94,6 +94,28 @@ def test_bad_cardinality_raises(kg):
         validate_graph(kg, {"used_tool": {"max_distinct_objects": 0}})
 
 
+def test_build_kg_job_validate_and_fact_support(tmp_path):
+    """The production job wires both stages: violations + fact_support
+    parquet written, per-rule counts in the metrics JSON."""
+    import json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "kg"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "build_kg.py"),
+         "--convs", "20", "--out", str(out), "--parallelism", "2",
+         "--validate", "--fact-support"],
+        capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    rec = json.loads([ln for ln in proc.stdout.splitlines()
+                      if ln.startswith("{")][-1])
+    assert "validate_violations" in rec["stages"]
+    assert (out / "violations").exists()
+    assert (out / "fact_support").exists()
+
+
 # --- fact_support --------------------------------------------------------
 
 
