@@ -7,7 +7,8 @@ The reference rebuilds its whole pipeline per request
 operation must instead be incremental: per micro-batch work proportional
 to the BATCH, with read-side folding and periodic compaction — the
 LSM contract ``streaming.ann_stream`` and ``streaming.neardup_stream``
-already follow. Two stores:
+already follow. Three stores share the epoch-delta machinery
+(``_EpochDeltaStore``):
 
 ``IncrementalEdgeStore`` — the KG edge materialization (B7's
 ``build_edges`` output) maintained as per-epoch delta parquet dirs.
@@ -26,6 +27,12 @@ source from scratch, so the store must be reset) — the store persists
 the run id in a ``_run_id`` marker and refuses a mismatched writer
 unless ``reset=True``, the failure mode ADVICE r3 flagged on the
 near-dup filter's epoch-keyed state.
+
+``IncrementalFactStore`` — the fact-provenance rollup
+(``operators.triples.fact_support``) maintained the same way, with the
+associative grain widened to (fact, conv_id) so COUNT(DISTINCT conv_id)
+survives folding; the read-side finalizer equals the batch rollup
+(tested per epoch).
 
 ``IncrementalComponentStore`` — connected-component labels maintained
 under edge INSERTIONS. Per batch: map the batch's endpoints to their
@@ -57,10 +64,13 @@ ASSIGN_DIR = "assign"
 _BASE_EPOCH = "base"
 
 
-class IncrementalEdgeStore:
-    """foreachBatch processor maintaining KG edge aggregates as
-    per-epoch parquet deltas; see module docstring for the
-    exactly-once contract around ``run_id``."""
+class _EpochDeltaStore:
+    """Shared epoch-delta machinery: run-id marker, deterministic
+    ``epoch=<run>-<id>`` overwrite dirs, associative-grain fold, and
+    quiesced compaction. Subclasses define ``_delta(batch)`` (the
+    per-batch partial, written per epoch) and ``_fold(deltas)`` (the
+    associative re-aggregate at the SAME grain as the deltas, so
+    compaction never loses information)."""
 
     def __init__(self, path: str, run_id: str = "run0",
                  reset: bool = False):
@@ -89,38 +99,38 @@ class IncrementalEdgeStore:
             with open(marker, "w") as fh:
                 fh.write(self.run_id)
 
+    def _delta(self, batch: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+    def _fold(self, deltas: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
     def _epoch_dir(self, epoch_id) -> str:
         return os.path.join(self.path, DELTA_DIR,
                             f"epoch={self.run_id}-{epoch_id}")
 
-    def process(self, triple_batch: DataFrame, epoch_id: int) -> None:
-        """One micro-batch: batch-local edge aggregate → its own epoch
-        dir. O(batch) shuffle; replay overwrites the same dir."""
-        if triple_batch.isEmpty():
+    def process(self, batch: DataFrame, epoch_id: int) -> None:
+        """One micro-batch: batch-local partial aggregate → its own
+        epoch dir. O(batch) shuffle; replay overwrites the same dir."""
+        if batch.isEmpty():
             return
-        (build_edges(triple_batch)
+        (self._delta(batch)
          .write.mode("overwrite").parquet(self._epoch_dir(epoch_id)))
 
-    def read_edges(self, spark: SparkSession) -> DataFrame:
-        """Fold every delta: sum-aggregates associate, so this equals
-        ``build_edges`` over all triples ever processed. Cost is
-        O(sum of delta sizes) — ``compact()`` keeps that bounded."""
+    def _read_folded(self, spark: SparkSession) -> DataFrame:
+        """Fold every delta at the associative grain. Cost is O(sum of
+        delta sizes) — ``compact()`` keeps that bounded."""
         cur = spark.read.parquet(os.path.join(self.path, DELTA_DIR))
-        return (cur.groupBy("src", "dst", "rel")
-                .agg(F.sum("weight").alias("weight"),
-                     F.sum("n").alias("n")))
-
-    def read_degrees(self, spark: SparkSession) -> DataFrame:
-        return degrees(self.read_edges(spark))
+        return self._fold(cur)
 
     def compact(self, spark: SparkSession) -> int:
         """Fold all deltas into a single ``epoch=<run>-base`` dir (the
         tmp-swap pattern of ``ann_stream.compact``). Returns the folded
-        edge count. Replay interaction: a replayed epoch re-creates its
+        row count. Replay interaction: a replayed epoch re-creates its
         delta dir after compaction folded it — double count. Run
         compact() only at a quiesced stream (stopped, or availableNow
         drained), same as the ANN/near-dup maintenance hooks."""
-        folded = self.read_edges(spark)
+        folded = self._read_folded(spark)
         deltas = os.path.join(self.path, DELTA_DIR)
         tmp = deltas.rstrip("/") + ".compact_tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -135,6 +145,65 @@ class IncrementalEdgeStore:
         os.replace(tmp, deltas)
         shutil.rmtree(old, ignore_errors=True)
         return n
+
+
+class IncrementalEdgeStore(_EpochDeltaStore):
+    """foreachBatch processor maintaining KG edge aggregates as
+    per-epoch parquet deltas; see module docstring for the
+    exactly-once contract around ``run_id``."""
+
+    def _delta(self, triple_batch: DataFrame) -> DataFrame:
+        return build_edges(triple_batch)
+
+    def _fold(self, deltas: DataFrame) -> DataFrame:
+        return (deltas.groupBy("src", "dst", "rel")
+                .agg(F.sum("weight").alias("weight"),
+                     F.sum("n").alias("n")))
+
+    def read_edges(self, spark: SparkSession) -> DataFrame:
+        """Fold every delta: sum-aggregates associate, so this equals
+        ``build_edges`` over all triples ever processed."""
+        return self._read_folded(spark)
+
+    def read_degrees(self, spark: SparkSession) -> DataFrame:
+        return degrees(self.read_edges(spark))
+
+
+class IncrementalFactStore(_EpochDeltaStore):
+    """foreachBatch processor maintaining the fact-provenance rollup
+    (``operators.triples.fact_support``) incrementally.
+
+    The associative grain is (subj, pred, obj, conv_id): per batch we
+    write count / score-sum / score-max at that grain, which both
+    re-folds losslessly (compaction) and finalizes exactly — n_convs is
+    a COUNT(DISTINCT conv_id), which is only associative if the
+    conversation stays in the key until the read-side finalizer. The
+    finalizer (``read_facts``) then matches batch ``fact_support`` over
+    all triples ever processed (mean = sum/count, not avg-of-avgs;
+    parity on the 6dp-rounded scores is tested per epoch). Same
+    exactly-once contract as the edge store."""
+
+    def _delta(self, triple_batch: DataFrame) -> DataFrame:
+        return (triple_batch.groupBy("subj", "pred", "obj", "conv_id")
+                .agg(F.count("*").alias("n"),
+                     F.sum("score").alias("sum_score"),
+                     F.max("score").alias("max_score")))
+
+    def _fold(self, deltas: DataFrame) -> DataFrame:
+        return (deltas.groupBy("subj", "pred", "obj", "conv_id")
+                .agg(F.sum("n").alias("n"),
+                     F.sum("sum_score").alias("sum_score"),
+                     F.max("max_score").alias("max_score")))
+
+    def read_facts(self, spark: SparkSession) -> DataFrame:
+        """== ``fact_support(all_triples_ever_processed)`` (tested)."""
+        folded = self._read_folded(spark)
+        return (folded.groupBy("subj", "pred", "obj")
+                .agg(F.sum("n").alias("n_support"),
+                     F.count_distinct("conv_id").alias("n_convs"),
+                     F.round(F.max("max_score"), 6).alias("max_score"),
+                     F.round(F.sum("sum_score") / F.sum("n"), 6)
+                     .alias("mean_score")))
 
 
 class IncrementalComponentStore:

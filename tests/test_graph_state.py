@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 
 from duke_spark.operators.dedup import connected_components
 from duke_spark.operators.graph import build_edges, degrees
+from duke_spark.operators.triples import fact_support
 from duke_spark.streaming.graph_state import (IncrementalComponentStore,
-                                              IncrementalEdgeStore)
+                                              IncrementalEdgeStore,
+                                              IncrementalFactStore)
 
 
 def _triples(spark, rows):
@@ -90,6 +92,57 @@ def test_edge_store_run_id_guard(spark, tmp_path):
     store2.process(_edge_batches(spark)[2], epoch_id=0)
     assert set(_edge_key(store2.read_edges(spark))) == \
         {("conv:c", "ent:z", "mentions")}
+
+
+def _fact_key(df):
+    return {(r.subj, r.pred, r.obj): (r.n_support, r.n_convs,
+                                      r.max_score, r.mean_score)
+            for r in df.collect()}
+
+
+def test_fact_store_matches_batch_every_epoch(spark, tmp_path):
+    """After EVERY epoch the incremental rollup equals batch
+    fact_support over all triples so far — including the distinct-conv
+    count, which only survives folding because the delta grain keeps
+    conv_id in the key."""
+    batches = _edge_batches(spark)
+    store = IncrementalFactStore(str(tmp_path / "fs"))
+    seen = None
+    for i, b in enumerate(batches):
+        store.process(b, epoch_id=i)
+        seen = b if seen is None else seen.unionByName(b)
+        assert _fact_key(store.read_facts(spark)) == \
+            _fact_key(fact_support(seen)), f"epoch {i}"
+
+
+def test_fact_store_replay_and_compact(spark, tmp_path):
+    batches = _edge_batches(spark)
+    store = IncrementalFactStore(str(tmp_path / "fs"))
+    for i, b in enumerate(batches):
+        store.process(b, epoch_id=i)
+    before = _fact_key(store.read_facts(spark))
+    store.process(batches[0], epoch_id=0)  # at-least-once replay
+    assert _fact_key(store.read_facts(spark)) == before
+    store.compact(spark)
+    assert _fact_key(store.read_facts(spark)) == before
+    # distinct-conv counting still exact across the compaction boundary:
+    # conv "d" re-asserts a fact conv "a" already supports
+    extra = _triples(spark, [("d", 0, "conv:a", "mentions", "ent:x", 0.1)])
+    store.process(extra, epoch_id=3)
+    after = _fact_key(store.read_facts(spark))
+    want = _fact_key(fact_support(
+        batches[0].unionByName(batches[1]).unionByName(batches[2])
+        .unionByName(extra)))
+    assert after == want
+    assert after[("conv:a", "mentions", "ent:x")][1] == 2  # convs {a, d}
+
+
+def test_fact_store_run_id_guard(spark, tmp_path):
+    p = str(tmp_path / "fs")
+    store = IncrementalFactStore(p, run_id="runA")
+    store.process(_edge_batches(spark)[0], epoch_id=0)
+    with pytest.raises(ValueError, match="fresh stream checkpoint"):
+        IncrementalFactStore(p, run_id="runB")
 
 
 def test_edge_store_foreachbatch_e2e(spark, ctx_bc, tmp_path):
