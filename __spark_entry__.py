@@ -983,6 +983,33 @@ def kg_reachability(spark, sf_dir):
     return match_path(triples, "co_mentioned", max_hops=3)
 
 
+def kg_typed_pattern(spark, sf_dir):
+    """Ontology-typed pattern matching (C43×B6 composition): BGP
+    bindings (?conv mentions ?e) joined to the canonicalization
+    pipeline's vertex types, rolled up to entity counts per
+    (conversation, canonical type) — 'what KINDS of things does each
+    conversation talk about', the typed query a KG exists to answer.
+    Oracle: golden mentions ⋈ golden vertices, same rollup."""
+    from duke_spark.operators.canonical import canonical_types_df
+    from duke_spark.operators.graph import build_vertices
+    from duke_spark.operators.mentions import linked_mentions
+    from duke_spark.operators.pattern import match_pattern
+    from duke_spark.operators.triples import extract_triples
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    ctx_bc = _corpus_context(spark, sf_dir)
+    mentions = linked_mentions(transcripts, ctx_bc).persist()
+    vertices = build_vertices(
+        mentions, canonical_types_df(spark, mentions, ctx_bc))
+    triples = (extract_triples(transcripts, ctx_bc)
+               .select("subj", "pred", "obj"))
+    bindings = match_pattern(triples, [("?conv", "mentions", "?e")])
+    return (bindings
+            .join(vertices.select(F.col("id").alias("e"),
+                                  "canonical_type"), "e")
+            .groupBy("conv", "canonical_type")
+            .agg(F.count_distinct("e").alias("n_entities")))
+
+
 def kg_fact_support(spark, sf_dir):
     """Fact provenance rollup (C45): one row per distinct fact with its
     evidence — occurrence count, distinct source conversations, score
@@ -1113,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_match": kg_pattern_match,
         "kg_pattern_optional": kg_pattern_optional,
         "kg_reachability": kg_reachability,
+        "kg_typed_pattern": kg_typed_pattern,
         "kg_fact_support": kg_fact_support,
         "kg_validate": kg_validate,
         "neardup_clusters_docs": neardup_clusters_docs,
@@ -1947,6 +1975,14 @@ def _kg_golden_oracles() -> dict[str, str]:
                               WHERE n.pred = 'used_tool'
                                 AND n.subj = m.e
                                 AND n.obj = 'tool:de')
+        """,
+        "kg_typed_pattern": f"""
+            WITH m AS (SELECT DISTINCT subj AS conv, obj AS e
+                       FROM {rp('kg_triples')} WHERE pred = 'mentions')
+            SELECT m.conv, v.canonical_type,
+                   COUNT(DISTINCT m.e) AS n_entities
+            FROM m JOIN {rp('kg_vertices')} v ON v.id = m.e
+            GROUP BY m.conv, v.canonical_type
         """,
         "kg_fact_support": f"""
             SELECT subj, pred, obj,
