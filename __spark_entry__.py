@@ -994,13 +994,16 @@ def kg_typed_pattern(spark, sf_dir):
     from duke_spark.operators.graph import build_vertices
     from duke_spark.operators.mentions import linked_mentions
     from duke_spark.operators.pattern import match_pattern
-    from duke_spark.operators.triples import extract_triples
+    from duke_spark.operators.triples import triples_from_mentions
     transcripts = _docs_as_transcripts(spark, sf_dir)
     ctx_bc = _corpus_context(spark, sf_dir)
     mentions = linked_mentions(transcripts, ctx_bc).persist()
     vertices = build_vertices(
         mentions, canonical_types_df(spark, mentions, ctx_bc))
-    triples = (extract_triples(transcripts, ctx_bc)
+    # both the vertex side and the triple side branch off the SAME
+    # persisted mentions — the linking matmul runs once, not twice
+    # (triples_from_mentions == extract_triples output, tested)
+    triples = (triples_from_mentions(mentions)
                .select("subj", "pred", "obj"))
     bindings = match_pattern(triples, [("?conv", "mentions", "?e")])
     return (bindings

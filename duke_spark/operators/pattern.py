@@ -180,19 +180,23 @@ def match_path(triples: DataFrame, pred: str, max_hops: int = 3
     shortest such length. See module docstring for the scale rationale
     behind the mandatory bound.
 
-    One Spark job per hop (an ``isEmpty`` action to stop early — same
-    one-action-per-iteration posture as pagerank/CC); each frontier is
-    persisted so the next hop's join doesn't recompute the lineage, and
-    unpersisted once consumed.
+    One Spark job per hop (a ``count`` action, which both detects an
+    empty frontier for early stop AND fully materializes the frontier's
+    cache — same one-action-per-iteration posture as pagerank/CC), plus
+    one final job that materializes the RETURNED DataFrame's cache, so
+    every intermediate (edges, per-hop frontiers) can be unpersisted
+    before returning without forcing a recompute. The single persist
+    that survives is the returned result; callers that loop over many
+    paths should ``unpersist()`` it when done.
     """
     if max_hops < 1:
         raise ValueError("max_hops must be >= 1")
     edges = (triples.filter(F.col("pred") == F.lit(pred))
              .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
              .distinct().persist())
-    known = edges.withColumn("hops", F.lit(1)).persist()
+    known = edges.withColumn("hops", F.lit(1))
     frontier = known
-    retired = []
+    frontiers = []
     for h in range(2, max_hops + 1):
         nxt = (frontier.select("src", F.col("dst").alias("_mid"))
                .join(edges.select(F.col("src").alias("_mid"), "dst"),
@@ -202,14 +206,15 @@ def match_path(triples: DataFrame, pred: str, max_hops: int = 3
                .join(known.select("src", "dst"), ["src", "dst"],
                      "left_anti")
                .withColumn("hops", F.lit(h)).persist())
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             nxt.unpersist()
             break
-        new_known = known.unionByName(nxt).persist()
-        retired.append(known)
-        known, frontier = new_known, nxt
-    out = known
+        frontiers.append(nxt)
+        known = known.unionByName(nxt)
+        frontier = nxt
+    out = known.persist()
+    out.count()  # materialize from the still-cached constituents
     edges.unpersist()
-    for df in retired:
+    for df in frontiers:
         df.unpersist()
     return out

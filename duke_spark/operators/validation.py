@@ -58,8 +58,13 @@ def validate_graph(triples: DataFrame,
     base = triples.select("subj", "pred", "obj")
     reports: list[DataFrame] = []
 
+    # pred participates too: a NULL/empty predicate would otherwise slip
+    # through every other rule (pred == <const> filters and the isin()
+    # closed-vocab check all evaluate to NULL → row silently dropped)
     null_or_empty = (F.col("subj").isNull() | F.col("obj").isNull()
-                     | (F.trim("subj") == "") | (F.trim("obj") == ""))
+                     | F.col("pred").isNull()
+                     | (F.trim("subj") == "") | (F.trim("obj") == "")
+                     | (F.trim("pred") == ""))
     reports.append(_report(base.filter(null_or_empty), "empty_term"))
 
     if closed:

@@ -8,4 +8,5 @@ from duke_spark.streaming.dedup_stream import (  # noqa: F401
 from duke_spark.streaming.neardup_stream import (  # noqa: F401
     StreamingNearDupFilter)
 from duke_spark.streaming.graph_state import (  # noqa: F401
-    IncrementalComponentStore, IncrementalEdgeStore)
+    IncrementalComponentStore, IncrementalEdgeStore,
+    IncrementalFactStore)

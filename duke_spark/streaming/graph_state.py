@@ -7,8 +7,10 @@ The reference rebuilds its whole pipeline per request
 operation must instead be incremental: per micro-batch work proportional
 to the BATCH, with read-side folding and periodic compaction — the
 LSM contract ``streaming.ann_stream`` and ``streaming.neardup_stream``
-already follow. Three stores share the epoch-delta machinery
-(``_EpochDeltaStore``):
+already follow. Three stores; the edge and fact stores share the
+epoch-delta machinery (``_EpochDeltaStore``), while the component store
+deliberately has no epoch bookkeeping — label merging is idempotent,
+so it needs neither the run-id guard nor delta dirs:
 
 ``IncrementalEdgeStore`` — the KG edge materialization (B7's
 ``build_edges`` output) maintained as per-epoch delta parquet dirs.
@@ -184,25 +186,32 @@ class IncrementalFactStore(_EpochDeltaStore):
     exactly-once contract as the edge store."""
 
     def _delta(self, triple_batch: DataFrame) -> DataFrame:
+        # n_score (non-NULL score count) is carried separately from n:
+        # batch fact_support's avg() skips NULLs, so the incremental
+        # mean must divide by the non-NULL count, not the row count
         return (triple_batch.groupBy("subj", "pred", "obj", "conv_id")
                 .agg(F.count("*").alias("n"),
+                     F.count("score").alias("n_score"),
                      F.sum("score").alias("sum_score"),
                      F.max("score").alias("max_score")))
 
     def _fold(self, deltas: DataFrame) -> DataFrame:
         return (deltas.groupBy("subj", "pred", "obj", "conv_id")
                 .agg(F.sum("n").alias("n"),
+                     F.sum("n_score").alias("n_score"),
                      F.sum("sum_score").alias("sum_score"),
                      F.max("max_score").alias("max_score")))
 
     def read_facts(self, spark: SparkSession) -> DataFrame:
-        """== ``fact_support(all_triples_ever_processed)`` (tested)."""
+        """== ``fact_support(all_triples_ever_processed)`` (tested,
+        including NULL-score rows)."""
         folded = self._read_folded(spark)
         return (folded.groupBy("subj", "pred", "obj")
                 .agg(F.sum("n").alias("n_support"),
                      F.count_distinct("conv_id").alias("n_convs"),
                      F.round(F.max("max_score"), 6).alias("max_score"),
-                     F.round(F.sum("sum_score") / F.sum("n"), 6)
+                     F.round(F.sum("sum_score")
+                             / F.nullif(F.sum("n_score"), F.lit(0)), 6)
                      .alias("mean_score")))
 
 

@@ -145,6 +145,9 @@ def main() -> None:
                 "co_mentioned": {"subject_prefix": "ent:",
                                  "object_prefix": "ent:",
                                  "irreflexive": True},
+                # no max_distinct_objects bound here: multi-tool use is
+                # legal in production; the kg_validate contract query
+                # adds the bound purely to exercise the cardinality rule
                 "used_tool": {"subject_prefix": "ent:",
                               "object_prefix": "tool:",
                               "subject_in": ("mentions", "obj")},

@@ -137,6 +137,26 @@ def test_fact_store_replay_and_compact(spark, tmp_path):
     assert after[("conv:a", "mentions", "ent:x")][1] == 2  # convs {a, d}
 
 
+def test_fact_store_null_scores_match_batch(spark, tmp_path):
+    """avg() skips NULL scores in batch fact_support; the incremental
+    mean divides by the non-NULL count (n_score), not the row count —
+    and an all-NULL fact yields a NULL mean on both sides."""
+    rows = [("a", 0, "f:x", "p", "o", 0.8),
+            ("a", 1, "f:x", "p", "o", None),
+            ("b", 0, "f:y", "p", "o", None)]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "subj",
+                                      "pred", "obj", "score"])
+    b = spark.createDataFrame(
+        pdf, "conv_id string, turn_idx long, subj string, pred string,"
+             " obj string, score double")
+    store = IncrementalFactStore(str(tmp_path / "fs"))
+    store.process(b, epoch_id=0)
+    got = _fact_key(store.read_facts(spark))
+    assert got == _fact_key(fact_support(b))
+    assert got[("f:x", "p", "o")] == (2, 1, 0.8, 0.8)  # mean over 1 row
+    assert got[("f:y", "p", "o")][3] is None
+
+
 def test_fact_store_run_id_guard(spark, tmp_path):
     p = str(tmp_path / "fs")
     store = IncrementalFactStore(p, run_id="runA")

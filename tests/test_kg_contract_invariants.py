@@ -104,3 +104,27 @@ def test_kg_conv_topics_full_parity(spark, driver_ctx, transcripts_pdf):
         exp_topic = driver_ctx.classes[int(np.argmax(agg))]
         assert got.loc[conv_id, "topic"] == exp_topic, conv_id
         assert got.loc[conv_id, "n_mentions"] == len(grp), conv_id
+
+
+def test_kg_typed_pattern_consistent_with_triples_and_vertices(spark):
+    """The typed-pattern rollup must equal the same composition
+    re-derived in pandas from the (independently parity-tested)
+    kg_triples_docs and kg_vertices outputs."""
+    got = entry.kg_typed_pattern(spark, SF_DIR).toPandas()
+    trip = entry.kg_triples_docs(spark, SF_DIR).toPandas()
+    verts = entry.kg_vertices(spark, SF_DIR).toPandas()
+    m = (trip[trip["pred"] == "mentions"][["subj", "obj"]]
+         .drop_duplicates()
+         .merge(verts[["id", "canonical_type"]],
+                left_on="obj", right_on="id"))
+    exp = (m.groupby(["subj", "canonical_type"])["obj"]
+           .nunique().reset_index())
+    exp.columns = ["conv", "canonical_type", "n_entities"]
+    got_s = got.sort_values(["conv", "canonical_type"]) \
+        .reset_index(drop=True)
+    exp_s = exp.sort_values(["conv", "canonical_type"]) \
+        .reset_index(drop=True)
+    assert got_s["conv"].tolist() == exp_s["conv"].tolist()
+    assert got_s["canonical_type"].tolist() == \
+        exp_s["canonical_type"].tolist()
+    assert got_s["n_entities"].tolist() == exp_s["n_entities"].tolist()

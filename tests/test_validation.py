@@ -56,6 +56,20 @@ def test_each_rule_fires_exactly_on_its_violation(kg):
     }
 
 
+def test_null_or_empty_pred_is_flagged_not_skipped(spark):
+    """A NULL/empty predicate must surface as empty_term — every other
+    rule's pred comparison evaluates to NULL and silently drops it."""
+    df = spark.createDataFrame(
+        pd.DataFrame([("conv:1", None, "ent:a"),
+                      ("conv:1", " ", "ent:b"),
+                      ("conv:1", "mentions", "ent:c")],
+                     columns=["subj", "pred", "obj"]))
+    got = _viol(validate_graph(df, SHAPES, closed=True))
+    assert ("empty_term", None, "conv:1", "ent:a") in got
+    assert ("empty_term", " ", "conv:1", "ent:b") in got
+    assert not any(r[1] == "mentions" for r in got)
+
+
 def test_conforming_graph_empty_report(spark):
     df = spark.createDataFrame(pd.DataFrame(
         [("conv:1", "mentions", "ent:a"),
