@@ -48,6 +48,13 @@ the required bindings), the common SPARQL shape ``{ BGP FILTER NOT
 EXISTS {...} OPTIONAL {...} }``; an optional that should survive a
 negation belongs in a second match_pattern call.
 
+Property paths compose INTO patterns: an element predicate written
+``pred{1,k}`` (e.g. ``("?a", "co_mentioned{1,3}", "?b")``) is expanded
+to the bounded closure of that predicate via ``match_path`` and joined
+like any other element — SPARQL's ``?a pred{1,3} ?b`` path expression.
+The closure is computed once per path element (it is already distinct
+at the pair level), constants on either end filter the closure pairs.
+
 ``match_path`` is the bounded property path (SPARQL ``pred{1,k}``):
 BFS frontier expansion over the DISTINCT edge set of one predicate,
 each hop one join + anti-join against the already-discovered pairs, so
@@ -63,10 +70,14 @@ in transparently because the constants reach the scan as filters.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _POS = ("subj", "pred", "obj")
+# element predicate "name{1,k}" = bounded property path (SPARQL pred{1,k})
+_PATH_RE = re.compile(r"^(.+)\{1,(\d+)\}$")
 
 
 def _is_var(term: str) -> bool:
@@ -87,9 +98,24 @@ def _compile_bgp(base: DataFrame, pattern) -> tuple[DataFrame, set]:
     """Compile one BGP to (DISTINCT-bindings DataFrame, variable set)."""
 
     def compile_element(el):
-        df = base
+        subj_t, pred_t, obj_t = el
+        path = (_PATH_RE.match(pred_t)
+                if isinstance(pred_t, str) and not _is_var(pred_t)
+                else None)
+        if path:
+            # expand the bounded closure once; its (src, dst) pairs then
+            # behave exactly like a 2-position element (the closure is
+            # persisted by match_path — clearCache() releases it after
+            # ad-hoc query bursts)
+            df = (match_path(base, path.group(1), int(path.group(2)))
+                  .select(F.col("src").alias("subj"),
+                          F.col("dst").alias("obj")))
+            slots = [("subj", subj_t), ("obj", obj_t)]
+        else:
+            df = base
+            slots = list(zip(_POS, el))
         names = {}
-        for pos, term in zip(_POS, el):
+        for pos, term in slots:
             if _is_var(term):
                 name = term[1:]
                 if not name:

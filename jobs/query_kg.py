@@ -1,0 +1,104 @@
+"""spark-submit entry: run a declarative pattern query against a
+materialized KG triple store.
+
+The read side of the engine's query surface: ``build_kg.py`` writes the
+store, this job answers SPARQL-core questions over it without any
+Python plumbing on the user's side —
+
+    python jobs/query_kg.py --store /tmp/kg/triples \\
+        --pattern "?conv mentions ?e ; ?e co_mentioned{1,2} ?x" \\
+        --negate "?e used_tool ?t" --out /tmp/answer
+
+Pattern syntax: elements separated by ';', each element three
+whitespace-separated terms; ``?name`` is a variable, ``pred{1,k}`` a
+bounded property path, anything else a constant. ``--optional`` /
+``--negate`` take the same syntax and may repeat. The store may be a
+parquet directory or an iceberg-lite table (auto-detected; constants
+reach the parquet scan as pushed filters either way).
+
+Emits one JSON summary line (rows, variables, elapsed) like the other
+jobs; ``--show N`` additionally prints up to N binding rows as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_pattern(text: str) -> list[tuple[str, str, str]]:
+    """'?a p ?b ; ?b q c' -> [('?a','p','?b'), ('?b','q','c')]."""
+    elements = []
+    for chunk in text.split(";"):
+        terms = chunk.split()
+        if not terms:
+            continue
+        if len(terms) != 3:
+            raise SystemExit(
+                f"pattern element needs exactly 3 terms, got {chunk!r}")
+        elements.append(tuple(terms))
+    if not elements:
+        raise SystemExit("empty pattern")
+    return elements
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", required=True,
+                    help="triple store: parquet dir or iceberg-lite table"
+                         " with subj/pred/obj columns")
+    ap.add_argument("--pattern", required=True,
+                    help="required BGP, e.g. '?c mentions ?e ; ?e p ?x'")
+    ap.add_argument("--optional", action="append", default=[],
+                    help="OPTIONAL group (repeatable)")
+    ap.add_argument("--negate", action="append", default=[],
+                    help="FILTER NOT EXISTS group (repeatable)")
+    ap.add_argument("--out", help="write bindings parquet here")
+    ap.add_argument("--show", type=int, default=0,
+                    help="print up to N binding rows as JSON lines")
+    ap.add_argument("--parallelism", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    args = ap.parse_args()
+
+    from duke_spark.config import get_spark
+    from duke_spark.operators.pattern import match_pattern
+    from duke_spark.sources.iceberg_lite import (is_iceberg_lite_table,
+                                                 read_table)
+
+    spark = get_spark("query_kg", master=f"local[{args.parallelism}]",
+                      shuffle_partitions=max(8, args.parallelism))
+    if is_iceberg_lite_table(args.store):
+        triples = read_table(spark, args.store)
+    else:
+        triples = spark.read.parquet(args.store)
+
+    t0 = time.time()
+    out = match_pattern(triples, parse_pattern(args.pattern),
+                        optional=[parse_pattern(p)
+                                  for p in args.optional] or None,
+                        negate=[parse_pattern(p)
+                                for p in args.negate] or None)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+    else:
+        n = out.count()
+    elapsed = time.time() - t0
+
+    if args.show:
+        for row in out.limit(args.show).collect():
+            print(json.dumps(row.asDict()))
+    print(json.dumps({"job": "query_kg", "store": args.store,
+                      "variables": out.columns, "rows": int(n),
+                      "elapsed_sec": round(elapsed, 3),
+                      "out": args.out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

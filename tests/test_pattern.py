@@ -253,6 +253,70 @@ def test_path_bad_bound_raises(chain):
         match_path(chain, "r", max_hops=0)
 
 
+# --- property-path elements inside patterns ------------------------------
+
+
+def test_path_element_in_pattern(kg):
+    """pred{1,k} inside a pattern expands to the bounded closure and
+    joins like any other element: conv mentions e, e within 2
+    co-mention hops of some e2 that used a tool."""
+    out = match_pattern(kg, [("?conv", "mentions", "?e"),
+                             ("?e", "co_mentioned{1,2}", "?e2"),
+                             ("?e2", "used_tool", "?t")])
+    # ent:a→b (1 hop) and a→c (2 hops) but only ent:a has used_tool...
+    # e2 must have the tool: only ent:a does, and nothing reaches a
+    assert _rows(out) == set()
+    out2 = match_pattern(kg, [("?conv", "mentions", "?e"),
+                              ("?e", "co_mentioned{1,2}", "?e2")])
+    assert _rows(out2) == {("conv:1", "ent:a", "ent:b"),
+                           ("conv:1", "ent:a", "ent:c"),
+                           ("conv:1", "ent:b", "ent:c"),
+                           ("conv:2", "ent:b", "ent:c")}
+
+
+def test_path_element_with_constant_end(chain):
+    out = match_pattern(chain, [("a", "r{1,3}", "?x")])
+    assert _rows(out) == {("b",), ("c",), ("d",), ("a",)}
+
+
+def test_path_element_cycle_via_repeated_var(chain):
+    """(?x, r{1,4}, ?x) finds nodes on cycles of length <= 4."""
+    out = match_pattern(chain, [("?x", "r{1,4}", "?x")])
+    assert _rows(out) == {("a",), ("b",), ("c",), ("d",)}
+
+
+# --- query_kg CLI --------------------------------------------------------
+
+
+def test_query_kg_job_end_to_end(spark, kg, tmp_path):
+    """The CLI answers a pattern (with negation) over a parquet triple
+    store and reports the binding count."""
+    import json
+    import os
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    store = str(tmp_path / "store")
+    kg.write.parquet(store)
+    out_dir = str(tmp_path / "answer")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "query_kg.py"),
+         "--store", store,
+         "--pattern", "?conv mentions ?e",
+         "--negate", "?e used_tool ?t",
+         "--out", out_dir, "--parallelism", "2", "--show", "5"],
+        capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    rec = json.loads([ln for ln in proc.stdout.splitlines()
+                      if '"job"' in ln][-1])
+    assert rec["rows"] == 2              # conv:1/ent:b, conv:2/ent:b
+    assert sorted(rec["variables"]) == ["conv", "e"]
+    import pandas as pd
+    got = pd.read_parquet(out_dir)
+    assert set(map(tuple, got[["conv", "e"]].itertuples(index=False))) \
+        == {("conv:1", "ent:b"), ("conv:2", "ent:b")}
+
+
 # --- physical-plan assertions -------------------------------------------
 
 
