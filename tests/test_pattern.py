@@ -285,6 +285,66 @@ def test_path_element_cycle_via_repeated_var(chain):
     assert _rows(out) == {("a",), ("b",), ("c",), ("d",)}
 
 
+# --- randomized parity vs a pure-Python BGP evaluator --------------------
+
+
+def _py_bgp(triples, pattern):
+    """Reference evaluator: backtracking unification over the triple
+    list, DISTINCT bindings over sorted variable names."""
+    def unify(el, t, env):
+        env2 = dict(env)
+        for term, val in zip(el, t):
+            if term.startswith("?"):
+                v = term[1:]
+                if v in env2 and env2[v] != val:
+                    return None
+                env2[v] = val
+            elif term != val:
+                return None
+        return env2
+
+    envs = [{}]
+    for el in pattern:
+        envs = [e2 for e in envs for t in triples
+                if (e2 := unify(el, t, e)) is not None]
+    vs = sorted({t[1:] for el in pattern for t in el
+                 if t.startswith("?")})
+    return {tuple(env[v] for v in vs) for env in envs}
+
+
+def test_random_patterns_match_python_oracle(spark):
+    """Random graphs × random connected patterns (chains, triangles,
+    constant anchors, duplicate triples) agree with the backtracking
+    evaluator — the adversarial sweep for the join compiler."""
+    import random
+
+    import pandas as pd
+    for seed in range(6):
+        rng = random.Random(seed)
+        nodes = [f"n{i}" for i in range(8)]
+        preds = ["p", "q", "r"]
+        triples = [(rng.choice(nodes), rng.choice(preds),
+                    rng.choice(nodes)) for _ in range(40)]
+        triples += rng.choices(triples, k=10)  # duplicates
+        df = spark.createDataFrame(pd.DataFrame(
+            triples, columns=["subj", "pred", "obj"]))
+
+        k = rng.randint(1, 3)
+        vs = [f"?v{i}" for i in range(k + 1)]
+        pattern = [(vs[i], rng.choice(preds), vs[i + 1])
+                   for i in range(k)]
+        if k >= 2 and rng.random() < 0.4:   # close a triangle
+            pattern.append((vs[0], rng.choice(preds), vs[-1]))
+        if rng.random() < 0.5:              # anchor one endpoint
+            const = rng.choice(nodes)
+            s, p, o = pattern[0]
+            pattern[0] = (const, p, o)
+
+        want = _py_bgp(triples, pattern)
+        got = _rows(match_pattern(df, pattern))
+        assert got == want, (seed, pattern)
+
+
 # --- query_kg CLI --------------------------------------------------------
 
 
