@@ -1013,6 +1013,34 @@ def kg_typed_pattern(spark, sf_dir):
             .agg(F.count_distinct("e").alias("n_entities")))
 
 
+def kg_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling for KG-embedding training (C47):
+    per distinct fact, k=2 corrupted objects drawn by 48-bit-md5 hash →
+    rank → sorted entity pool lookup, with true ('false negative')
+    corruptions flagged via a join back against the positives. Oracle:
+    the identical hash/rank/pool formula in SQL over the golden triples
+    (row_number pool, ('0x'||substr(md5,17,12))::BIGINT index)."""
+    from duke_spark.operators.kg_train import negative_samples_md5
+    from duke_spark.operators.triples import extract_triples
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    triples = (extract_triples(transcripts,
+                               _corpus_context(spark, sf_dir))
+               .select("subj", "pred", "obj").persist())
+    return negative_samples_md5(triples, k=2)
+
+
+def kg_fact_split(spark, sf_dir):
+    """Leakage-free train/valid/test fact split (C47): the bucket is a
+    48-bit md5 hash of the FACT, so every occurrence lands on the same
+    side and the assignment is reproducible run-to-run. Oracle: same
+    bucket formula in SQL over the golden triples."""
+    from duke_spark.operators.kg_train import split_facts
+    from duke_spark.operators.triples import extract_triples
+    transcripts = _docs_as_transcripts(spark, sf_dir)
+    triples = extract_triples(transcripts, _corpus_context(spark, sf_dir))
+    return split_facts(triples, train=80, valid=10)
+
+
 def kg_fact_support(spark, sf_dir):
     """Fact provenance rollup (C45): one row per distinct fact with its
     evidence — occurrence count, distinct source conversations, score
@@ -1144,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pattern_optional": kg_pattern_optional,
         "kg_reachability": kg_reachability,
         "kg_typed_pattern": kg_typed_pattern,
+        "kg_negative_samples": kg_negative_samples,
+        "kg_fact_split": kg_fact_split,
         "kg_fact_support": kg_fact_support,
         "kg_validate": kg_validate,
         "neardup_clusters_docs": neardup_clusters_docs,
@@ -1986,6 +2016,42 @@ def _kg_golden_oracles() -> dict[str, str]:
                    COUNT(DISTINCT m.e) AS n_entities
             FROM m JOIN {rp('kg_vertices')} v ON v.id = m.e
             GROUP BY m.conv, v.canonical_type
+        """,
+        "kg_negative_samples": f"""
+            WITH g AS (SELECT DISTINCT subj, pred, obj
+                       FROM {rp('kg_triples')}),
+            pool AS (SELECT entity,
+                            ROW_NUMBER() OVER (ORDER BY entity) - 1
+                            AS idx
+                     FROM (SELECT DISTINCT obj AS entity
+                           FROM {rp('kg_triples')})),
+            n AS (SELECT COUNT(*) AS c FROM pool),
+            cand AS (
+                SELECT g.subj, g.pred, g.obj, j.j AS neg_j,
+                       ('0x' || substr(md5(g.subj || '|' || g.pred ||
+                            '|' || g.obj || '|' || j.j::VARCHAR),
+                            17, 12))::BIGINT % (SELECT c FROM n) AS idx
+                FROM g CROSS JOIN (SELECT j FROM
+                                   generate_series(0, 1) t(j)) j)
+            SELECT c.subj, c.pred, c.obj, c.neg_j,
+                   p.entity AS neg_obj,
+                   EXISTS (SELECT 1 FROM g x
+                           WHERE x.subj = c.subj AND x.pred = c.pred
+                             AND x.obj = p.entity) AS is_false_neg
+            FROM cand c JOIN pool p USING (idx)
+        """,
+        "kg_fact_split": f"""
+            WITH g AS (SELECT DISTINCT subj, pred, obj
+                       FROM {rp('kg_triples')})
+            SELECT subj, pred, obj,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM (SELECT *,
+                         ('0x' || substr(md5('split' || '|' || subj ||
+                              '|' || pred || '|' || obj),
+                              17, 12))::BIGINT % 100 AS b
+                  FROM g)
         """,
         "kg_fact_support": f"""
             SELECT subj, pred, obj,
