@@ -53,10 +53,15 @@ def dense_entity_index(entities: DataFrame, col: str = "entity",
     """
     spark = entities.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
+    # persist BEFORE the counts collect: repartitionByRange samples its
+    # bounds from upstream row order, which is shuffle-nondeterministic,
+    # so the counts job and the index job MUST see the same partitioning
+    # — the standard zipWithIndex mitigation
     s = (entities.select(F.col(col).alias("entity")).distinct()
          .repartitionByRange(P, "entity")
          .sortWithinPartitions("entity")
-         .withColumn("_pid", F.spark_partition_id()))
+         .withColumn("_pid", F.spark_partition_id())
+         .persist())
     counts = {r["_pid"]: r["cnt"] for r in
               s.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
@@ -78,13 +83,22 @@ def dense_entity_index(entities: DataFrame, col: str = "entity",
             pos += len(pdf)
             yield out
 
-    return s.mapInPandas(run, schema=schema)
+    # materialize the (vertex-cardinality) index now so the sorted
+    # intermediate can be released; the returned cache is reused by
+    # count() and the pool join downstream — callers running many
+    # samplers may unpersist() it when done
+    out = s.mapInPandas(run, schema=schema).persist()
+    out.count()
+    s.unpersist()
+    return out
 
 
 def _negatives(triples: DataFrame, k: int, idx_fn, pool: DataFrame
                ) -> DataFrame:
+    if k < 1:
+        raise ValueError("k must be >= 1")
     facts = triples.select("subj", "pred", "obj").distinct()
-    n = pool.count()
+    n = pool.count()  # pool arrives persisted from dense_entity_index
     if n == 0:
         raise ValueError("empty entity pool")
     cand = (facts

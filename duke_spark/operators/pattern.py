@@ -78,6 +78,26 @@ from pyspark.sql import functions as F
 _POS = ("subj", "pred", "obj")
 # element predicate "name{1,k}" = bounded property path (SPARQL pred{1,k})
 _PATH_RE = re.compile(r"^(.+)\{1,(\d+)\}$")
+# any brace suffix at all — used to REJECT unsupported bound forms
+# (pred{2,3}, pred{0,5}, pred{1, 3}) instead of silently treating them
+# as a constant predicate that matches nothing
+_BRACE_RE = re.compile(r"^.+\{.*\}$")
+
+# closures persisted by path elements inside match_pattern; the query
+# result is lazy, so they cannot be unpersisted inside the call —
+# release them between query bursts with release_path_caches()
+_path_caches: list = []
+
+
+def release_path_caches() -> int:
+    """Unpersist every closure cached by ``pred{1,k}`` pattern
+    elements; returns how many were released. Safe any time the
+    DataFrames returned by earlier match_pattern calls are no longer
+    needed (results already collected/written)."""
+    n = len(_path_caches)
+    while _path_caches:
+        _path_caches.pop().unpersist()
+    return n
 
 
 def _is_var(term: str) -> bool:
@@ -102,14 +122,22 @@ def _compile_bgp(base: DataFrame, pattern) -> tuple[DataFrame, set]:
         path = (_PATH_RE.match(pred_t)
                 if isinstance(pred_t, str) and not _is_var(pred_t)
                 else None)
+        if path is None and isinstance(pred_t, str) \
+                and not _is_var(pred_t) and _BRACE_RE.match(pred_t):
+            raise ValueError(
+                f"unsupported path bound in {pred_t!r}: only the form "
+                "pred{1,k} (k >= 1, no spaces) is supported — a lower "
+                "bound other than 1 is not; rewrite pred{2,3} as a "
+                "1-hop element joined to pred{1,2}")
         if path:
             # expand the bounded closure once; its (src, dst) pairs then
-            # behave exactly like a 2-position element (the closure is
-            # persisted by match_path — clearCache() releases it after
-            # ad-hoc query bursts)
-            df = (match_path(base, path.group(1), int(path.group(2)))
-                  .select(F.col("src").alias("subj"),
-                          F.col("dst").alias("obj")))
+            # behave exactly like a 2-position element (the closure stays
+            # persisted because the query result is lazy — call
+            # release_path_caches() between query bursts)
+            closure = match_path(base, path.group(1), int(path.group(2)))
+            _path_caches.append(closure)
+            df = closure.select(F.col("src").alias("subj"),
+                                F.col("dst").alias("obj"))
             slots = [("subj", subj_t), ("obj", obj_t)]
         else:
             df = base

@@ -195,6 +195,19 @@ class IncrementalFactStore(_EpochDeltaStore):
                      F.sum("score").alias("sum_score"),
                      F.max("score").alias("max_score")))
 
+    def _read_folded(self, spark: SparkSession) -> DataFrame:
+        # mergeSchema: delta dirs written before n_score existed must
+        # still read; their rows backfill n_score = n (the legacy code
+        # assumed every score non-NULL, so that is its exact semantics)
+        cur = (spark.read.option("mergeSchema", "true")
+               .parquet(os.path.join(self.path, DELTA_DIR)))
+        if "n_score" not in cur.columns:
+            cur = cur.withColumn("n_score", F.col("n"))
+        else:
+            cur = cur.withColumn("n_score",
+                                 F.coalesce("n_score", F.col("n")))
+        return self._fold(cur)
+
     def _fold(self, deltas: DataFrame) -> DataFrame:
         return (deltas.groupBy("subj", "pred", "obj", "conv_id")
                 .agg(F.sum("n").alias("n"),

@@ -85,9 +85,12 @@ def main() -> None:
                                 for p in args.negate] or None)
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
-        n = spark.read.parquet(args.out).count()
-    else:
-        n = out.count()
+        # everything below reads the WRITTEN parquet — the (possibly
+        # expensive) query plan executes exactly once
+        out = spark.read.parquet(args.out)
+    elif args.show:
+        out = out.persist()  # count + show without recomputing
+    n = out.count()
     elapsed = time.time() - t0
 
     if args.show:

@@ -157,6 +157,28 @@ def test_fact_store_null_scores_match_batch(spark, tmp_path):
     assert got[("f:y", "p", "o")][3] is None
 
 
+def test_fact_store_reads_legacy_deltas_without_n_score(spark, tmp_path):
+    """Delta dirs written before the n_score column existed must still
+    read: legacy rows backfill n_score = n (the old code's semantics)."""
+    import glob
+    import os
+    batches = _edge_batches(spark)
+    store = IncrementalFactStore(str(tmp_path / "fs"))
+    store.process(batches[0], epoch_id=0)
+    # rewrite epoch 0 WITHOUT n_score, simulating the old writer
+    [d] = glob.glob(os.path.join(str(tmp_path / "fs"), "deltas",
+                                 "epoch=*"))
+    legacy = spark.read.parquet(d).drop("n_score")
+    legacy.toPandas().to_parquet(os.path.join(d, "legacy.parquet"),
+                                 index=False)
+    for f in glob.glob(os.path.join(d, "part-*.parquet")):
+        os.remove(f)
+    store.process(batches[1], epoch_id=1)  # new-schema delta alongside
+    got = _fact_key(store.read_facts(spark))
+    want = _fact_key(fact_support(batches[0].unionByName(batches[1])))
+    assert got == want
+
+
 def test_fact_store_run_id_guard(spark, tmp_path):
     p = str(tmp_path / "fs")
     store = IncrementalFactStore(p, run_id="runA")

@@ -110,6 +110,11 @@ def test_split_bad_weights_raise(spark, kg):
         split_facts(kg, train=95, valid=10)
 
 
+def test_bad_k_raises(spark, kg):
+    with pytest.raises(ValueError, match="k must be"):
+        negative_samples_md5(kg, k=0)
+
+
 def test_empty_pool_raises(spark, kg):
     empty = kg.select(F.col("obj").alias("entity")).limit(0)
     with pytest.raises(ValueError, match="empty entity pool"):

@@ -285,6 +285,24 @@ def test_path_element_cycle_via_repeated_var(chain):
     assert _rows(out) == {("a",), ("b",), ("c",), ("d",)}
 
 
+def test_unsupported_path_bounds_raise(chain):
+    """pred{2,3} etc. must error, not silently match nothing as a
+    constant predicate."""
+    for bad in ("r{2,3}", "r{0,5}", "r{1, 3}", "r{}"):
+        with pytest.raises(ValueError, match="unsupported path bound"):
+            match_pattern(chain, [("?a", bad, "?b")])
+
+
+def test_release_path_caches(chain):
+    from duke_spark.operators.pattern import (_path_caches,
+                                              release_path_caches)
+    release_path_caches()
+    match_pattern(chain, [("?a", "r{1,2}", "?b")]).count()
+    assert len(_path_caches) == 1
+    assert release_path_caches() == 1
+    assert not _path_caches
+
+
 # --- randomized parity vs a pure-Python BGP evaluator --------------------
 
 
