@@ -537,6 +537,18 @@ def embedding_near_dups_docs(spark, sf_dir):
     return cosine_near_dup_pairs(emb, threshold=0.3, num_planes=4)
 
 
+def entity_resolution_docs(spark, sf_dir):
+    """Embedding-based entity resolution (C48): total merge map over
+    the embeddings table — LSH-bucketed cosine pairs (≥0.3, the proven
+    near-dups setting) → connected components → canonical = component
+    min, identity for isolates. Oracle: the pair CTE from
+    embedding_near_dups_docs feeding a RECURSIVE-CTE closure, left
+    joined back onto every vec_id."""
+    from duke_spark.operators.entity_resolution import resolve_entities
+    emb = _t(spark, sf_dir, "embeddings")
+    return resolve_entities(emb, threshold=0.3, num_planes=4)
+
+
 def q17_json_props(spark, sf_dir):
     """Semi-structured extraction: pull the numeric field out of the
     JSON props column (JVM-side get_json_object — no UDF) and roll up
@@ -1150,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": simhash_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
         "embedding_near_dups_docs": embedding_near_dups_docs,
+        "entity_resolution_docs": entity_resolution_docs,
         "clean_text_docs": clean_text_docs,
         "length_percentiles_docs": length_percentiles_docs,
         "unigram_logloss_docs": unigram_logloss_docs,
@@ -1799,6 +1812,31 @@ def oracle_sql() -> dict[str, str]:
                     ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
             SELECT pa AS a, pb AS b, ROUND(cos_raw, 6) AS cosine
             FROM p WHERE cos_raw >= 0.3
+        """,
+        "entity_resolution_docs": f"""
+            WITH RECURSIVE bkt AS (
+                SELECT vec_id, embedding,
+                       ({_coord_bucket_sql('embedding')}) AS bucket,
+                       sqrt(list_dot_product(
+                           CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings),
+            p AS (SELECT l.vec_id AS a, r.vec_id AS b
+                  FROM bkt l JOIN bkt r
+                    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+                  WHERE list_dot_product(CAST(l.embedding AS DOUBLE[]),
+                                         CAST(r.embedding AS DOUBLE[]))
+                        / (l.nrm * r.nrm) >= 0.3),
+            e AS (SELECT a AS u, b AS v FROM p
+                  UNION SELECT b, a FROM p),
+            reach(id, lbl) AS (
+                SELECT u, u FROM e
+                UNION
+                SELECT e.u, r.lbl FROM reach r JOIN e ON r.id = e.v),
+            comp AS (SELECT id, MIN(lbl) AS c FROM reach GROUP BY id)
+            SELECT emb.vec_id AS entity,
+                   COALESCE(comp.c, emb.vec_id) AS canonical
+            FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
         """,
         "ann_index_topk_docs": f"""
             WITH q AS (SELECT embedding AS qv FROM embeddings

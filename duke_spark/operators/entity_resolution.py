@@ -1,0 +1,69 @@
+"""Embedding-based entity resolution: merge aliases of the same
+real-world entity and rewrite the graph through the merge map.
+
+Duke's canonicalization (``operators/canonical.py``, reference
+``Duke/dataset_descriptor.py``) assigns each surface form a canonical
+ONTOLOGY TYPE; it never decides that two distinct surface forms ARE the
+same entity. At corpus scale that identity step is what keeps the KG
+from fragmenting ("NYC" / "New York City" / "new york") — the classic
+entity-resolution stage of any extraction pipeline.
+
+The resolution rule here is embedding similarity, built entirely from
+operators this repo already trusts:
+
+  1. candidate pairs = ``similarity.cosine_near_dup_pairs`` (cosine ≥
+     threshold inside coordinate-sign LSH buckets — banded, never
+     all-pairs, oracle-proven);
+  2. transitive closure = ``dedup.connected_components`` (iterative
+     min-label, O(diameter) rounds);
+  3. canonical id = component minimum; entities with no near-dup map
+     to themselves, so the returned map is TOTAL over the input.
+
+``apply_entity_merge`` then rewrites any triple columns through the map
+with per-column broadcast-friendly left joins — the map is
+vertex-cardinality, orders of magnitude smaller than the fact table,
+so the rewrite is two narrow-ish joins, never a shuffle of the text.
+Merged facts are NOT deduplicated here (provenance rows survive);
+compose with ``fact_support`` or ``distinct()`` downstream as needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duke_spark.operators.dedup import connected_components
+from duke_spark.operators.similarity import cosine_near_dup_pairs
+
+
+def resolve_entities(vectors: DataFrame, threshold: float = 0.95,
+                     num_planes: int = 4, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Total merge map (entity, canonical) over ``vectors``; canonical
+    is the minimum entity id of the cosine-similarity component, the
+    entity's own id when it has no neighbor ≥ threshold."""
+    pairs = cosine_near_dup_pairs(vectors, threshold=threshold,
+                                  num_planes=num_planes,
+                                  vec_col=vec_col, id_col=id_col)
+    comp = connected_components(pairs.select("a", "b"))
+    return (vectors.select(F.col(id_col).alias("entity"))
+            .join(comp.withColumnRenamed("node", "entity"),
+                  "entity", "left")
+            .select("entity",
+                    F.coalesce("comp", F.col("entity"))
+                    .alias("canonical")))
+
+
+def apply_entity_merge(triples: DataFrame, merge_map: DataFrame,
+                       cols: tuple = ("subj", "obj")) -> DataFrame:
+    """Rewrite ``cols`` of ``triples`` through the (entity, canonical)
+    map; ids absent from the map pass through unchanged. One left join
+    per column against the (small) map — Catalyst broadcasts it."""
+    out = triples
+    for c in cols:
+        m = merge_map.select(F.col("entity").alias(c),
+                             F.col("canonical").alias(f"_canon_{c}"))
+        out = (out.join(m, c, "left")
+               .withColumn(c, F.coalesce(f"_canon_{c}", F.col(c)))
+               .drop(f"_canon_{c}"))
+    return out

@@ -162,6 +162,8 @@ def coord_sign_bucket(vec_col: str = "embedding", num_planes: int = 4):
     sign(v[j]) — pure Catalyst, so a SQL oracle reproduces it verbatim.
     A degenerate but valid member of the hyperplane-LSH family; the
     Gaussian-plane variant (``lsh_bucket_ids``) is the production path."""
+    if num_planes < 1:
+        return F.lit(0)  # degenerate single bucket = exact full-pairs
     bits = [F.when(F.col(vec_col).getItem(j) >= 0, F.lit(1 << j))
             .otherwise(F.lit(0)) for j in range(num_planes)]
     out = bits[0]

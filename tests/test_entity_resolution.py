@@ -1,0 +1,105 @@
+"""Embedding-based entity resolution (operators.entity_resolution):
+merge-map correctness vs a hand-computed closure, totality, and the
+graph rewrite."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from duke_spark.operators.entity_resolution import (apply_entity_merge,
+                                                    resolve_entities)
+
+DIM = 8
+
+
+@pytest.fixture()
+def vectors(spark):
+    """Three planted clusters of near-identical vectors plus isolated
+    points. Cluster ids: {0,1,2}, {10,11}, {20,21,22}; isolates 30, 31."""
+    rng = np.random.default_rng(42)
+    rows = []
+
+    def add(base_id, n, seed_vec):
+        for j in range(n):
+            v = seed_vec + rng.normal(0, 0.01, DIM)
+            rows.append((base_id + j, [float(x) for x in v]))
+
+    add(0, 3, rng.normal(0, 1, DIM))
+    add(10, 2, rng.normal(0, 1, DIM))
+    add(20, 3, rng.normal(0, 1, DIM))
+    rows.append((30, [float(x) for x in rng.normal(0, 1, DIM)]))
+    rows.append((31, [float(x) for x in rng.normal(0, 1, DIM)]))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _cos(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def test_merge_map_matches_python_closure(vectors):
+    df, pdf = vectors
+    got = {r.entity: r.canonical
+           for r in resolve_entities(df, threshold=0.99,
+                                     num_planes=0).collect()}
+    # python oracle: full-pairs closure at the same threshold
+    ids = pdf["vec_id"].tolist()
+    vecs = dict(zip(pdf["vec_id"], pdf["embedding"]))
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in ids:
+        for j in ids:
+            if i < j and _cos(vecs[i], vecs[j]) >= 0.99:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    want = {i: find(i) for i in ids}
+    assert got == want
+    # the planted clusters actually merged (test isn't vacuous)
+    assert want[2] == 0 and want[11] == 10 and want[22] == 20
+    assert want[30] == 30
+
+
+def test_map_is_total_and_identity_for_isolates(vectors):
+    df, pdf = vectors
+    got = resolve_entities(df, threshold=0.999999,
+                           num_planes=0).toPandas()
+    assert len(got) == len(pdf)            # total over input
+    # at an impossible threshold everyone maps to themselves
+    near_one = resolve_entities(df, threshold=1.1, num_planes=0) \
+        .toPandas()
+    assert (near_one["entity"] == near_one["canonical"]).all()
+
+
+def test_apply_entity_merge_rewrites_and_passes_through(spark):
+    triples = spark.createDataFrame(pd.DataFrame(
+        [(2, "p", 11), (30, "p", 2), (5, "q", 5)],
+        columns=["subj", "pred", "obj"]))
+    mm = spark.createDataFrame(pd.DataFrame(
+        [(2, 0), (11, 10), (30, 30)], columns=["entity", "canonical"]))
+    got = {(r.subj, r.pred, r.obj)
+           for r in apply_entity_merge(triples, mm).collect()}
+    # 2→0, 11→10; 5 absent from the map passes through
+    assert got == {(0, "p", 10), (30, "p", 0), (5, "q", 5)}
+
+
+def test_merge_then_fact_support_consolidates(spark):
+    """Composition: after the rewrite, fact_support counts evidence for
+    the CANONICAL fact across its aliases."""
+    from duke_spark.operators.triples import fact_support
+    triples = spark.createDataFrame(pd.DataFrame(
+        [("c1", 0, 1, "p", 2, 0.5), ("c2", 0, 1, "p", 3, 0.7)],
+        columns=["conv_id", "turn_idx", "subj", "pred", "obj", "score"]))
+    mm = spark.createDataFrame(pd.DataFrame(
+        [(3, 2)], columns=["entity", "canonical"]))
+    merged = apply_entity_merge(triples, mm)
+    fs = fact_support(merged).collect()
+    assert len(fs) == 1
+    assert fs[0].n_support == 2 and fs[0].n_convs == 2
