@@ -67,3 +67,68 @@ def apply_entity_merge(triples: DataFrame, merge_map: DataFrame,
                .withColumn(c, F.coalesce(f"_canon_{c}", F.col(c)))
                .drop(f"_canon_{c}"))
     return out
+
+
+def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
+                        num_planes: int = 4, prefix: str = "ent:"
+                        ) -> tuple:
+    """Pipeline form: resolve the KG's OWN entities using the link
+    context's word embeddings, and rewrite the triples.
+
+    Steps, all vertex-cardinality until the final rewrite: collect the
+    distinct ``prefix``-terms from subj/obj, embed each label with the
+    broadcast context (one mapInPandas batch gather — the same matrix
+    the linker scored against, so "similar" means similar in the
+    linking space), index them densely (ids must be integral for the
+    pair kernel), run ``resolve_entities``, translate the id map back
+    to term strings, and ``apply_entity_merge``. Returns
+    (merge_map_df with (entity, canonical) STRING terms, rewritten
+    triples). Labels missing from the embedding vocabulary map to
+    themselves (no vector ⇒ no merge evidence).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from duke_spark.operators.kg_train import dense_entity_index
+
+    terms = (triples.select(F.col("subj").alias("t"))
+             .unionByName(triples.select(F.col("obj").alias("t")))
+             .filter(F.col("t").startswith(prefix)).distinct())
+    idx = dense_entity_index(terms, col="t")  # (entity=str, idx)
+
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    plen = len(prefix)
+
+    def embed(batches):
+        ctx = ctx_bc.value
+        emb = ctx.embedding
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            words = pdf["entity"].str[plen:]
+            keep = words.map(lambda w: emb.in_vocab([w]))
+            if not keep.any():
+                continue
+            sub = pdf[keep]
+            vecs = emb.embed_groups([[w] for w in sub["entity"]
+                                     .str[plen:]])
+            yield pd.DataFrame({
+                "vec_id": sub["idx"].to_numpy(),
+                "embedding": [[float(x) for x in v] for v in vecs]})
+
+    vectors = idx.mapInPandas(embed, schema=vec_schema)
+    id_map = resolve_entities(vectors, threshold=threshold,
+                              num_planes=num_planes)
+    # ids → term strings (two joins against the vertex-sized index)
+    a = idx.select(F.col("idx").alias("entity"),
+                   F.col("entity").alias("ent_str"))
+    b = idx.select(F.col("idx").alias("canonical"),
+                   F.col("entity").alias("canon_str"))
+    str_map = (id_map.join(a, "entity").join(b, "canonical")
+               .filter(F.col("ent_str") != F.col("canon_str"))
+               .select(F.col("ent_str").alias("entity"),
+                       F.col("canon_str").alias("canonical")))
+    return str_map, apply_entity_merge(triples, str_map)

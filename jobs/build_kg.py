@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--fact-support", action="store_true",
                     help="also materialize the per-fact provenance"
                          " rollup (<out>/fact_support parquet)")
+    ap.add_argument("--resolve", type=float, metavar="THRESHOLD",
+                    help="entity resolution: merge entities whose"
+                         " linking-space embeddings have cosine >="
+                         " THRESHOLD; writes <out>/merge_map and"
+                         " <out>/triples_resolved parquet")
     ap.add_argument("--scale", default="mini", choices=["mini", "reference"],
                     help="embedding/ontology scale: mini (D=32, ~30 classes,"
                          " test fixture) or reference (D=1000, 788 classes —"
@@ -161,6 +166,21 @@ def main() -> None:
                        .collect()}
             metrics.record("validate_violations", **(by_rule or
                                                      {"none": 0}))
+
+    if args.resolve is not None:
+        from duke_spark.operators.entity_resolution import \
+            resolve_kg_entities
+        with metrics.time_stage("resolve_entities"):
+            mm, resolved = resolve_kg_entities(
+                ck.read_triples(spark), ctx_bc, threshold=args.resolve)
+            mm.write.mode("overwrite").parquet(
+                os.path.join(args.out, "merge_map"))
+            resolved.write.mode("overwrite").parquet(
+                os.path.join(args.out, "triples_resolved"))
+            metrics.record("resolve_merged",
+                           rows=spark.read.parquet(
+                               os.path.join(args.out,
+                                            "merge_map")).count())
 
     if args.fact_support:
         from duke_spark.operators.triples import fact_support

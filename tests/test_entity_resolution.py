@@ -90,6 +90,50 @@ def test_apply_entity_merge_rewrites_and_passes_through(spark):
     assert got == {(0, "p", 10), (30, "p", 0), (5, "q", 5)}
 
 
+def test_resolve_kg_entities_merges_planted_aliases(spark):
+    """Pipeline form: a context whose vocab contains two near-identical
+    vectors ('acme' / 'acmecorp') merges those entities in the triple
+    store; out-of-vocab and dissimilar entities pass through."""
+    from duke_spark.fixtures.class_tree import mini_tree
+    from duke_spark.operators.entity_resolution import resolve_kg_entities
+    from duke_spark.operators.linking import LinkContext
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, DIM)
+    words, vecs = [], []
+    for w, v in [("acme", base), ("acmecorp", base + 0.001),
+                 ("zebra", rng.normal(0, 1, DIM)),
+                 ("agent", rng.normal(0, 1, DIM)),
+                 ("team", rng.normal(0, 1, DIM))]:
+        words.append(w)
+        vecs.append(v)
+    # mini_tree classes must embed; add their words with random vecs
+    for w in {w for c in mini_tree() for w in c.split(" ")}:
+        if w not in words:
+            words.append(w)
+            vecs.append(rng.normal(0, 1, DIM))
+    ctx = LinkContext(words, np.asarray(vecs, dtype=np.float32),
+                      mini_tree())
+    ctx_bc = spark.sparkContext.broadcast(ctx)
+
+    triples = spark.createDataFrame(pd.DataFrame(
+        [("conv:1", "mentions", "ent:acme"),
+         ("conv:2", "mentions", "ent:acmecorp"),
+         ("conv:1", "mentions", "ent:zebra"),
+         ("ent:acmecorp", "co_mentioned", "ent:zebra"),
+         ("conv:3", "mentions", "ent:notinvocab")],
+        columns=["subj", "pred", "obj"]))
+    mm, resolved = resolve_kg_entities(triples, ctx_bc, threshold=0.99)
+    got_map = {(r.entity, r.canonical) for r in mm.collect()}
+    assert got_map == {("ent:acmecorp", "ent:acme")}
+    rows = {(r.subj, r.pred, r.obj) for r in resolved.collect()}
+    assert ("conv:2", "mentions", "ent:acme") in rows
+    assert ("ent:acme", "co_mentioned", "ent:zebra") in rows
+    assert ("conv:3", "mentions", "ent:notinvocab") in rows
+    assert not any("acmecorp" in r[0] or "acmecorp" in r[2]
+                   for r in rows)
+
+
 def test_merge_then_fact_support_consolidates(spark):
     """Composition: after the rewrite, fact_support counts evidence for
     the CANONICAL fact across its aliases."""
