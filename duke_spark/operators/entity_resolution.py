@@ -108,13 +108,17 @@ def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            words = pdf["entity"].str[plen:]
-            keep = words.map(lambda w: emb.in_vocab([w]))
+            # multi-word labels split into word groups, exactly how the
+            # linker embeds class names (linking.py c.split(" ")) — a
+            # whole multi-word label is never itself a vocab token
+            groups = [lbl[plen:].split(" ") for lbl in pdf["entity"]]
+            keep = pd.Series([emb.in_vocab(g) for g in groups],
+                             index=pdf.index)
             if not keep.any():
                 continue
             sub = pdf[keep]
-            vecs = emb.embed_groups([[w] for w in sub["entity"]
-                                     .str[plen:]])
+            vecs = emb.embed_groups([g for g, k in zip(groups, keep)
+                                     if k])
             yield pd.DataFrame({
                 "vec_id": sub["idx"].to_numpy(),
                 "embedding": [[float(x) for x in v] for v in vecs]})
@@ -130,5 +134,11 @@ def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
     str_map = (id_map.join(a, "entity").join(b, "canonical")
                .filter(F.col("ent_str") != F.col("canon_str"))
                .select(F.col("ent_str").alias("entity"),
-                       F.col("canon_str").alias("canonical")))
+                       F.col("canon_str").alias("canonical"))
+               .persist())
+    # materialize the (vertex-sized) map once: the rewrite joins it per
+    # column, and callers typically write both the map and the rewrite —
+    # without this the embed+CC pipeline would re-run per consumer
+    str_map.count()
+    idx.unpersist()
     return str_map, apply_entity_merge(triples, str_map)

@@ -163,7 +163,10 @@ def coord_sign_bucket(vec_col: str = "embedding", num_planes: int = 4):
     A degenerate but valid member of the hyperplane-LSH family; the
     Gaussian-plane variant (``lsh_bucket_ids``) is the production path."""
     if num_planes < 1:
-        return F.lit(0)  # degenerate single bucket = exact full-pairs
+        # fail fast: a 0-plane bucket would silently put the whole
+        # corpus in one partition of the "pruned" ANN index
+        raise ValueError("num_planes must be >= 1 (cosine_near_dup_pairs"
+                         " accepts num_planes=0 for exact full-pairs)")
     bits = [F.when(F.col(vec_col).getItem(j) >= 0, F.lit(1 << j))
             .otherwise(F.lit(0)) for j in range(num_planes)]
     out = bits[0]
@@ -201,8 +204,9 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     interpreted and ~5× slower). Shuffle is one bucket-keyed exchange;
     candidate volume is Σ bucket², the standard LSH bound (use
     ``embedding_near_dups`` for skew-bounded block pairing at scale)."""
-    b = df.select(F.col(id_col), F.col(vec_col),
-                  coord_sign_bucket(vec_col, num_planes).alias("bucket"))
+    bucket = (F.lit(0) if num_planes < 1   # explicit exact full-pairs
+              else coord_sign_bucket(vec_col, num_planes))
+    b = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
     schema = T.StructType([
         T.StructField("a", T.LongType()),
         T.StructField("b", T.LongType()),

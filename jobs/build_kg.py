@@ -132,10 +132,32 @@ def main() -> None:
                    turns=n_turns, parallelism=args.parallelism,
                    skipped_parts=res["skipped"])
 
+    # --resolve runs FIRST among the post-processing stages: when set,
+    # export/validate/fact-support all consume the RESOLVED triples
+    # (read back from parquet, so the embed+merge pipeline runs once)
+    triples_src = ck.read_triples(spark)
+    if args.resolve is not None:
+        from duke_spark.operators.entity_resolution import \
+            resolve_kg_entities
+        with metrics.time_stage("resolve_entities"):
+            mm, resolved = resolve_kg_entities(
+                triples_src, ctx_bc, threshold=args.resolve)
+            mm.write.mode("overwrite").parquet(
+                os.path.join(args.out, "merge_map"))
+            resolved.write.mode("overwrite").parquet(
+                os.path.join(args.out, "triples_resolved"))
+            mm.unpersist()
+            metrics.record("resolve_merged",
+                           rows=spark.read.parquet(
+                               os.path.join(args.out,
+                                            "merge_map")).count())
+        triples_src = spark.read.parquet(
+            os.path.join(args.out, "triples_resolved"))
+
     if args.export_nt:
         from duke_spark.operators.rdf import write_ntriples
         with metrics.time_stage("export_nt"):
-            n_rejected = write_ntriples(ck.read_triples(spark),
+            n_rejected = write_ntriples(triples_src,
                                         os.path.join(args.out, "kg.nt"))
             metrics.record("export_nt_rejects", rows=n_rejected)
 
@@ -144,7 +166,7 @@ def main() -> None:
 
         from duke_spark.operators.validation import validate_graph
         with metrics.time_stage("validate"):
-            report = validate_graph(ck.read_triples(spark), {
+            report = validate_graph(triples_src, {
                 "mentions": {"subject_prefix": "conv:",
                              "object_prefix": "ent:"},
                 "co_mentioned": {"subject_prefix": "ent:",
@@ -167,29 +189,18 @@ def main() -> None:
             metrics.record("validate_violations", **(by_rule or
                                                      {"none": 0}))
 
-    if args.resolve is not None:
-        from duke_spark.operators.entity_resolution import \
-            resolve_kg_entities
-        with metrics.time_stage("resolve_entities"):
-            mm, resolved = resolve_kg_entities(
-                ck.read_triples(spark), ctx_bc, threshold=args.resolve)
-            mm.write.mode("overwrite").parquet(
-                os.path.join(args.out, "merge_map"))
-            resolved.write.mode("overwrite").parquet(
-                os.path.join(args.out, "triples_resolved"))
-            metrics.record("resolve_merged",
-                           rows=spark.read.parquet(
-                               os.path.join(args.out,
-                                            "merge_map")).count())
-
     if args.fact_support:
         from duke_spark.operators.triples import fact_support
         with metrics.time_stage("fact_support"):
-            fact_support(ck.read_triples(spark)).write.mode(
+            fact_support(triples_src).write.mode(
                 "overwrite").parquet(os.path.join(args.out,
                                                   "fact_support"))
 
     if args.graph:
+        # vertices/edges rebuild from the transcripts (they need the
+        # mention table, not just triples) — UNRESOLVED; apply the
+        # written merge_map with apply_entity_merge downstream if the
+        # resolved graph is wanted
         with metrics.time_stage("graph"):
             kg = build_kg(spark, transcripts, ctx_bc)
             kg["vertices"].write.mode("overwrite").parquet(

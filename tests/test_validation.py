@@ -120,14 +120,18 @@ def test_build_kg_job_validate_and_fact_support(tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "jobs", "build_kg.py"),
          "--convs", "20", "--out", str(out), "--parallelism", "2",
-         "--validate", "--fact-support"],
+         "--validate", "--fact-support", "--resolve", "0.99"],
         capture_output=True, text=True, timeout=420)
     assert proc.returncode == 0, proc.stderr[-3000:]
     rec = json.loads([ln for ln in proc.stdout.splitlines()
                       if ln.startswith("{")][-1])
     assert "validate_violations" in rec["stages"]
+    assert "resolve_merged" in rec["stages"]
     assert (out / "violations").exists()
     assert (out / "fact_support").exists()
+    # composition: validate/fact-support consumed the RESOLVED triples
+    assert (out / "triples_resolved").exists()
+    assert (out / "merge_map").exists()
 
 
 # --- fact_support --------------------------------------------------------
