@@ -395,6 +395,30 @@ def test_query_kg_job_end_to_end(spark, kg, tmp_path):
         == {("conv:1", "ent:b"), ("conv:2", "ent:b")}
 
 
+def test_query_kg_job_over_iceberg_lite_store(spark, kg, tmp_path):
+    """The CLI auto-detects an iceberg-lite table as the triple store."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from duke_spark.sources import iceberg_lite
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    store = str(tmp_path / "ice_store")
+    iceberg_lite.write_table(spark, kg, store)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "query_kg.py"),
+         "--store", store,
+         "--pattern", "?conv mentions ?e ; ?e used_tool ?t",
+         "--parallelism", "2"],
+        capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    rec = json.loads([ln for ln in proc.stdout.splitlines()
+                      if '"job"' in ln][-1])
+    assert rec["rows"] == 1            # conv:1 / ent:a / tool:t
+    assert sorted(rec["variables"]) == ["conv", "e", "t"]
+
+
 # --- physical-plan assertions -------------------------------------------
 
 
