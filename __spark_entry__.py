@@ -1121,7 +1121,15 @@ def neardup_clusters_docs(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order matters: the driver's correctness harness runs the
+    FIRST 50 entries. Round 5 rotates the window (VERDICT-r4 item #1) so
+    the core KG surface — driver-untested in r4 — sits inside it; the 18
+    displaced queries (q11/q14–q20 variants, one ANN twin, the
+    verification-grade jaccard path, text-analysis variants) were all
+    driver-green in CORRECTNESS_r04 and stay oracle-checked every round by
+    scripts/check_contract.py at sf0.001/0.01/0.1/1."""
     return {
+        # -- window slots 1-50: core reference ops + full KG surface -----
         "q1_pricing_rollup": q1_pricing_rollup,
         "q2_string_projection": q2_string_projection,
         "q3_null_filter": q3_null_filter,
@@ -1132,45 +1140,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_derived_rollup": q8_derived_rollup,
         "q9_sample_cap": q9_sample_cap,
         "q10_region_rollup": q10_region_rollup,
-        "q11_rollup_sets": q11_rollup_sets,
         "q12_anti_join": q12_anti_join,
         "q13_distinct_agg": q13_distinct_agg,
-        "q14_running_total": q14_running_total,
-        "q15_monthly_rollup": q15_monthly_rollup,
-        "q16_pivot_segments": q16_pivot_segments,
-        "q17_json_props": q17_json_props,
-        "q18_above_nation_avg": q18_above_nation_avg,
-        "q19_topn_per_group": q19_topn_per_group,
-        "q20_exists_rollup": q20_exists_rollup,
         "session_stats_events": session_stats_events,
         "asof_join_events": asof_join_events,
-        "asof_forward_events": asof_forward_events,
         "range_join_events": range_join_events,
         "chunk_docs": chunk_docs,
         "scrub_pii_docs": scrub_pii_docs,
-        "repetition_docs": repetition_docs,
         "dedup_exact_docs": dedup_exact_docs,
         "minhash_sig_docs": minhash_sig_docs,
-        "jaccard_pairs_docs": jaccard_pairs_docs,
-        "token_stats_docs": token_stats_docs,
-        "stopword_ratio_docs": stopword_ratio_docs,
-        "fingerprint_docs": fingerprint_docs,
-        "ann_cosine_topk_docs": ann_cosine_topk_docs,
-        "ann_index_topk_docs": ann_index_topk_docs,
-        "ivf_ann_topk_docs": ivf_ann_topk_docs,
-        "lang_counts_docs": lang_counts_docs,
-        "simhash_docs": simhash_docs,
         "minhash_lsh_pairs_docs": minhash_lsh_pairs_docs,
+        "neardup_clusters_docs": neardup_clusters_docs,
         "embedding_near_dups_docs": embedding_near_dups_docs,
         "entity_resolution_docs": entity_resolution_docs,
-        "clean_text_docs": clean_text_docs,
-        "length_percentiles_docs": length_percentiles_docs,
-        "unigram_logloss_docs": unigram_logloss_docs,
-        "tfidf_topk_docs": tfidf_topk_docs,
-        "kg_entity_pmi": kg_entity_pmi,
-        "stratified_sample_docs": stratified_sample_docs,
+        "token_stats_docs": token_stats_docs,
+        "stopword_ratio_docs": stopword_ratio_docs,
+        "lang_counts_docs": lang_counts_docs,
+        "simhash_docs": simhash_docs,
+        "ann_cosine_topk_docs": ann_cosine_topk_docs,
+        "ann_index_topk_docs": ann_index_topk_docs,
         "contamination_docs": contamination_docs,
         "media_meta_docs": media_meta_docs,
+        "kg_entity_pmi": kg_entity_pmi,
         "kg_triples_docs": kg_triples_docs,
         "kg_vertices": kg_vertices,
         "kg_duke_describe": kg_duke_describe,
@@ -1189,7 +1180,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_split": kg_fact_split,
         "kg_fact_support": kg_fact_support,
         "kg_validate": kg_validate,
-        "neardup_clusters_docs": neardup_clusters_docs,
+        # -- slots 51+: driver-green in r4, contract-checked every round --
+        "q11_rollup_sets": q11_rollup_sets,
+        "q14_running_total": q14_running_total,
+        "q15_monthly_rollup": q15_monthly_rollup,
+        "q16_pivot_segments": q16_pivot_segments,
+        "q17_json_props": q17_json_props,
+        "q18_above_nation_avg": q18_above_nation_avg,
+        "q19_topn_per_group": q19_topn_per_group,
+        "q20_exists_rollup": q20_exists_rollup,
+        "asof_forward_events": asof_forward_events,
+        "repetition_docs": repetition_docs,
+        "jaccard_pairs_docs": jaccard_pairs_docs,
+        "fingerprint_docs": fingerprint_docs,
+        "ivf_ann_topk_docs": ivf_ann_topk_docs,
+        "clean_text_docs": clean_text_docs,
+        "length_percentiles_docs": length_percentiles_docs,
+        "unigram_logloss_docs": unigram_logloss_docs,
+        "tfidf_topk_docs": tfidf_topk_docs,
+        "stratified_sample_docs": stratified_sample_docs,
     }
 
 
