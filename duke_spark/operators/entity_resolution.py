@@ -12,8 +12,9 @@ The resolution rule here is embedding similarity, built entirely from
 operators this repo already trusts:
 
   1. candidate pairs = ``similarity.cosine_near_dup_pairs`` (cosine ≥
-     threshold inside coordinate-sign LSH buckets — banded, never
-     all-pairs, oracle-proven);
+     threshold inside coordinate-sign LSH buckets, hot buckets split
+     into ≤max_bucket block-pair tasks — banded, never all-pairs, never
+     one quadratic straggler, oracle-proven);
   2. transitive closure = ``dedup.connected_components`` (iterative
      min-label, O(diameter) rounds);
   3. canonical id = component minimum; entities with no near-dup map
@@ -38,13 +39,17 @@ from duke_spark.operators.similarity import cosine_near_dup_pairs
 
 def resolve_entities(vectors: DataFrame, threshold: float = 0.95,
                      num_planes: int = 4, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     max_bucket: int = 4096) -> DataFrame:
     """Total merge map (entity, canonical) over ``vectors``; canonical
     is the minimum entity id of the cosine-similarity component, the
-    entity's own id when it has no neighbor ≥ threshold."""
+    entity's own id when it has no neighbor ≥ threshold. ``max_bucket``
+    caps the per-task pair kernel (block-pair splitting inside hot LSH
+    buckets) without changing the pair set — the 100 TB guard."""
     pairs = cosine_near_dup_pairs(vectors, threshold=threshold,
                                   num_planes=num_planes,
-                                  vec_col=vec_col, id_col=id_col)
+                                  vec_col=vec_col, id_col=id_col,
+                                  max_bucket=max_bucket)
     comp = connected_components(pairs.select("a", "b"))
     return (vectors.select(F.col(id_col).alias("entity"))
             .join(comp.withColumnRenamed("node", "entity"),
@@ -70,8 +75,8 @@ def apply_entity_merge(triples: DataFrame, merge_map: DataFrame,
 
 
 def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
-                        num_planes: int = 4, prefix: str = "ent:"
-                        ) -> tuple:
+                        num_planes: int = 4, prefix: str = "ent:",
+                        max_bucket: int = 4096) -> tuple:
     """Pipeline form: resolve the KG's OWN entities using the link
     context's word embeddings, and rewrite the triples.
 
@@ -125,7 +130,8 @@ def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
 
     vectors = idx.mapInPandas(embed, schema=vec_schema)
     id_map = resolve_entities(vectors, threshold=threshold,
-                              num_planes=num_planes)
+                              num_planes=num_planes,
+                              max_bucket=max_bucket)
     # ids → term strings (two joins against the vertex-sized index)
     a = idx.select(F.col("idx").alias("entity"),
                    F.col("entity").alias("ent_str"))

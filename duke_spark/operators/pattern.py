@@ -71,6 +71,8 @@ in transparently because the constants reach the scan as filters.
 from __future__ import annotations
 
 import re
+import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -84,20 +86,58 @@ _PATH_RE = re.compile(r"^(.+)\{1,(\d+)\}$")
 _BRACE_RE = re.compile(r"^.+\{.*\}$")
 
 # closures persisted by path elements inside match_pattern; the query
-# result is lazy, so they cannot be unpersisted inside the call —
-# release them between query bursts with release_path_caches()
+# result is lazy, so they cannot be unpersisted inside the call. Scope
+# them with ``path_cache_scope()`` (preferred — long-lived sessions leak
+# executor storage otherwise) or drain the fallback global list between
+# query bursts with release_path_caches(). The global list is
+# lock-guarded; scopes are thread-local, so concurrent query threads
+# never release each other's closures.
 _path_caches: list = []
+_path_lock = threading.Lock()
+_scope_stack = threading.local()
+
+
+def _register_path_cache(df: DataFrame) -> None:
+    stack = getattr(_scope_stack, "stack", None)
+    if stack:
+        stack[-1].append(df)
+    else:
+        with _path_lock:
+            _path_caches.append(df)
+
+
+@contextmanager
+def path_cache_scope():
+    """Tie ``pred{1,k}`` closure caches to a block: every closure
+    persisted by match_pattern/match_path calls in this thread inside
+    the ``with`` body is unpersisted on exit. MATERIALIZE results
+    (collect/write) before the block ends — afterwards the lazy plan
+    recomputes the closure instead of reading cache. Nests; inner
+    scopes release only their own closures."""
+    stack = getattr(_scope_stack, "stack", None)
+    if stack is None:
+        stack = _scope_stack.stack = []
+    mine: list = []
+    stack.append(mine)
+    try:
+        yield mine
+    finally:
+        stack.pop()
+        for df in mine:
+            df.unpersist()
 
 
 def release_path_caches() -> int:
     """Unpersist every closure cached by ``pred{1,k}`` pattern
-    elements; returns how many were released. Safe any time the
-    DataFrames returned by earlier match_pattern calls are no longer
-    needed (results already collected/written)."""
-    n = len(_path_caches)
-    while _path_caches:
-        _path_caches.pop().unpersist()
-    return n
+    elements OUTSIDE any ``path_cache_scope``; returns how many were
+    released. Safe any time the DataFrames returned by earlier
+    match_pattern calls are no longer needed (results already
+    collected/written)."""
+    with _path_lock:
+        drained, _path_caches[:] = list(_path_caches), []
+    for df in drained:
+        df.unpersist()
+    return len(drained)
 
 
 def _is_var(term: str) -> bool:
@@ -132,10 +172,11 @@ def _compile_bgp(base: DataFrame, pattern) -> tuple[DataFrame, set]:
         if path:
             # expand the bounded closure once; its (src, dst) pairs then
             # behave exactly like a 2-position element (the closure stays
-            # persisted because the query result is lazy — call
-            # release_path_caches() between query bursts)
+            # persisted because the query result is lazy — scope with
+            # path_cache_scope() or call release_path_caches() between
+            # query bursts)
             closure = match_path(base, path.group(1), int(path.group(2)))
-            _path_caches.append(closure)
+            _register_path_cache(closure)
             df = closure.select(F.col("src").alias("subj"),
                                 F.col("dst").alias("obj"))
             slots = [("subj", subj_t), ("obj", obj_t)]

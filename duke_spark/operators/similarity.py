@@ -175,62 +175,114 @@ def coord_sign_bucket(vec_col: str = "embedding", num_planes: int = 4):
     return out
 
 
-def seq_gram_matrix(mat: np.ndarray) -> np.ndarray:
+def seq_gram_matrix(mat: np.ndarray,
+                    other: np.ndarray | None = None) -> np.ndarray:
     """All-pairs dot products with STRICTLY SEQUENTIAL per-pair
     accumulation order: Σ_d x_d·y_d added in ascending d, exactly the
     fold order of ``F.aggregate`` / DuckDB ``list_dot_product`` — so each
     entry is bit-identical to the SQL engines' scalar loop, unlike a BLAS
     ``mat @ mat.T`` (pairwise/SIMD summation). Vectorized across pairs as
-    D rank-1 updates; O(n²·D) like the BLAS call, just without its
-    blocking."""
-    n = mat.shape[0]
-    acc = np.zeros((n, n), dtype=np.float64)
+    D rank-1 updates; O(n·m·D) like the BLAS call, just without its
+    blocking. With ``other``, the cross-gram mat × otherᵀ — the same
+    floats as the self-gram's corresponding entries (scalar ``x_d·y_d``
+    is commutative and the d-order is fixed), which is what lets the
+    block-paired kernel below stay bit-exact to the unsplit one."""
+    if other is None:
+        other = mat
+    acc = np.zeros((mat.shape[0], other.shape[0]), dtype=np.float64)
     for d in range(mat.shape[1]):
-        col = mat[:, d]
-        acc += col[:, None] * col[None, :]
+        acc += mat[:, d][:, None] * other[:, d][None, :]
+    return acc
+
+
+def _seq_sq_norms(mat: np.ndarray) -> np.ndarray:
+    """Per-row Σ_d x_d² in ascending-d order — bit-identical to the
+    diagonal of ``seq_gram_matrix(mat)`` without the O(n²) work."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
     return acc
 
 
 def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           num_planes: int = 4,
                           vec_col: str = "embedding",
-                          id_col: str = "vec_id") -> DataFrame:
+                          id_col: str = "vec_id",
+                          max_bucket: int = 4096) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold within coordinate-sign
     LSH buckets — the oracle-checkable twin of ``embedding_near_dups``.
-    Bucket bits are Catalyst; the pair kernel runs per bucket group in
-    NumPy using ``seq_gram_matrix``, whose per-pair accumulation order
-    equals the SQL fold — every cosine matches DuckDB bit for bit at
-    NumPy speed (the per-pair Catalyst higher-order-function fold is
-    interpreted and ~5× slower). Shuffle is one bucket-keyed exchange;
-    candidate volume is Σ bucket², the standard LSH bound (use
-    ``embedding_near_dups`` for skew-bounded block pairing at scale)."""
+    Bucket bits are Catalyst; the pair kernel runs per group in NumPy
+    using ``seq_gram_matrix``, whose per-pair accumulation order equals
+    the SQL fold — every cosine matches DuckDB bit for bit at NumPy
+    speed (the per-pair Catalyst higher-order-function fold is
+    interpreted and ~5× slower).
+
+    Scale: a hot bucket is never one quadratic task. Like
+    ``embedding_near_dups``, rows are hash-split into
+    ``ceil(|bucket| / max_bucket)`` blocks and every block PAIR is its
+    own ``applyInPandas`` group, so per-task memory is ≤ 2·max_bucket
+    rows and the O(|bucket|²) work spreads over nb² tasks — with 16
+    coord-sign buckets (num_planes=4) over 10⁸ entities the old
+    single-task path would build a ~6M×6M gram matrix; this one never
+    exceeds max_bucket². The pair SET and every cosine are unchanged
+    (block pairing is exhaustive within the bucket; cross-block dots
+    reuse the same sequential fold), so the SQL oracle needs no
+    max_bucket awareness. Capped-vs-uncapped identity is pytest-pinned."""
     bucket = (F.lit(0) if num_planes < 1   # explicit exact full-pairs
               else coord_sign_bucket(vec_col, num_planes))
     b = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    sized = (b.join(F.broadcast(counts), "bucket")
+             .withColumn("nb", F.ceil(F.col("cnt") / max_bucket)
+                         .cast("int"))
+             .withColumn("blk", F.pmod(F.xxhash64(F.col(id_col)),
+                                       F.col("nb")).cast("int")))
+    rep = (sized.select(
+        id_col, vec_col, "bucket", "blk",
+        F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("j"))
+        .withColumn("lo", F.least("blk", "j"))
+        .withColumn("hi", F.greatest("blk", "j")))
+
     schema = T.StructType([
         T.StructField("a", T.LongType()),
         T.StructField("b", T.LongType()),
         T.StructField("cosine", T.DoubleType()),
     ])
 
-    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+    def pairs(key, pdf):
+        # untyped on purpose (see embedding_near_dups.pairs)
         if len(pdf) < 2:
             return pd.DataFrame(columns=["a", "b", "cosine"])
+        lo_blk, hi_blk = key[1], key[2]
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
         mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
-        gram = seq_gram_matrix(mat)
-        nrm = np.sqrt(np.diag(gram))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = gram / (nrm[:, None] * nrm[None, :])
-        iu = np.triu_indices(len(ids), k=1)
-        vals = sims[iu]
-        mask = vals >= threshold
-        return pd.DataFrame({"a": ids[iu[0][mask]],
-                             "b": ids[iu[1][mask]],
-                             "cosine": vals[mask]})
+        nrm = np.sqrt(_seq_sq_norms(mat))
+        if lo_blk == hi_blk:
+            gram = seq_gram_matrix(mat)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = gram / (nrm[:, None] * nrm[None, :])
+            iu = np.triu_indices(len(ids), k=1)
+            vals = sims[iu]
+            mask = vals >= threshold
+            a, bb = ids[iu[0][mask]], ids[iu[1][mask]]
+            cos = vals[mask]
+        else:
+            left = pdf["blk"].to_numpy()[order] == lo_blk
+            li, ri = np.flatnonzero(left), np.flatnonzero(~left)
+            if len(li) == 0 or len(ri) == 0:
+                return pd.DataFrame(columns=["a", "b", "cosine"])
+            gram = seq_gram_matrix(mat[li], mat[ri])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = gram / (nrm[li][:, None] * nrm[ri][None, :])
+            ai, bi = np.nonzero(sims >= threshold)
+            x, y = ids[li[ai]], ids[ri[bi]]
+            a, bb = np.minimum(x, y), np.maximum(x, y)
+            cos = sims[ai, bi]
+        return pd.DataFrame({"a": a, "b": bb, "cosine": cos})
 
-    raw = b.groupBy("bucket").applyInPandas(pairs, schema=schema)
+    raw = rep.groupBy("bucket", "lo", "hi").applyInPandas(
+        pairs, schema=schema)
     # HALF_UP rounding JVM-side, matching the SQL oracle's ROUND
     return raw.select("a", "b", F.round("cosine", 6).alias("cosine"))
 

@@ -10,11 +10,14 @@ Python plumbing on the user's side —
         --negate "?e used_tool ?t" --out /tmp/answer
 
 Pattern syntax: elements separated by ';', each element three
-whitespace-separated terms; ``?name`` is a variable, ``pred{1,k}`` a
-bounded property path, anything else a constant. ``--optional`` /
-``--negate`` take the same syntax and may repeat. The store may be a
-parquet directory or an iceberg-lite table (auto-detected; constants
-reach the parquet scan as pushed filters either way).
+shell-quoted terms (shlex rules, so multi-word constants work:
+``"?c mentions 'ent:home run'"``); ``?name`` is a variable,
+``pred{1,k}`` a bounded property path, anything else a constant —
+constants containing a literal ';' are the one unquotable case (';' is
+the element separator). ``--optional`` / ``--negate`` take the same
+syntax and may repeat. The store may be a parquet directory or an
+iceberg-lite table (auto-detected; constants reach the parquet scan as
+pushed filters either way).
 
 Emits one JSON summary line (rows, variables, elapsed) like the other
 jobs; ``--show N`` additionally prints up to N binding rows as JSON.
@@ -32,10 +35,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_pattern(text: str) -> list[tuple[str, str, str]]:
-    """'?a p ?b ; ?b q c' -> [('?a','p','?b'), ('?b','q','c')]."""
+    """'?a p ?b ; ?b q c' -> [('?a','p','?b'), ('?b','q','c')].
+
+    Terms are shlex-split, so multi-word constants — the KG's entity
+    terms ARE multi-word ('ent:home run') — are quoted:
+    "?c mentions 'ent:home run'"."""
+    import shlex
+
     elements = []
     for chunk in text.split(";"):
-        terms = chunk.split()
+        try:
+            terms = shlex.split(chunk)
+        except ValueError as e:  # unbalanced quote
+            raise SystemExit(f"bad pattern element {chunk!r}: {e}")
         if not terms:
             continue
         if len(terms) != 3:
@@ -66,7 +78,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from duke_spark.config import get_spark
-    from duke_spark.operators.pattern import match_pattern
+    from duke_spark.operators.pattern import match_pattern, path_cache_scope
     from duke_spark.sources.iceberg_lite import (is_iceberg_lite_table,
                                                  read_table)
 
@@ -78,19 +90,23 @@ def main() -> None:
         triples = spark.read.parquet(args.store)
 
     t0 = time.time()
-    out = match_pattern(triples, parse_pattern(args.pattern),
-                        optional=[parse_pattern(p)
-                                  for p in args.optional] or None,
-                        negate=[parse_pattern(p)
-                                for p in args.negate] or None)
-    if args.out:
-        out.write.mode("overwrite").parquet(args.out)
-        # everything below reads the WRITTEN parquet — the (possibly
-        # expensive) query plan executes exactly once
-        out = spark.read.parquet(args.out)
-    elif args.show:
-        out = out.persist()  # count + show without recomputing
-    n = out.count()
+    # path_cache_scope: pred{1,k} closures persisted during compilation
+    # are unpersisted when the scope exits — the result is materialized
+    # (written or counted) inside it, so nothing recomputes
+    with path_cache_scope():
+        out = match_pattern(triples, parse_pattern(args.pattern),
+                            optional=[parse_pattern(p)
+                                      for p in args.optional] or None,
+                            negate=[parse_pattern(p)
+                                    for p in args.negate] or None)
+        if args.out:
+            out.write.mode("overwrite").parquet(args.out)
+            # everything below reads the WRITTEN parquet — the (possibly
+            # expensive) query plan executes exactly once
+            out = spark.read.parquet(args.out)
+        elif args.show:
+            out = out.persist()  # count + show without recomputing
+        n = out.count()
     elapsed = time.time() - t0
 
     if args.show:

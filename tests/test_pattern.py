@@ -303,6 +303,37 @@ def test_release_path_caches(chain):
     assert not _path_caches
 
 
+def test_path_cache_scope_releases_persisted(chain, spark):
+    """VERDICT-r4 #3: pred{1,k} closures persisted inside a
+    path_cache_scope are unpersisted on exit — no executor storage
+    leak in long-lived sessions — and never land in the global list."""
+    from duke_spark.operators.pattern import (_path_caches,
+                                              path_cache_scope,
+                                              release_path_caches)
+    release_path_caches()
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    with path_cache_scope() as caches:
+        out = match_pattern(chain, [("?a", "r{1,2}", "?b")])
+        assert out.count() > 0          # materialize inside the scope
+        assert len(caches) == 1         # the closure went to the scope
+        assert not _path_caches         # ... not the global fallback
+    after = set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set()      # everything new was unpersisted
+
+
+def test_path_cache_scope_nests(chain):
+    """Inner scopes release only their own closures; the outer one
+    still owns (and releases) its own."""
+    from duke_spark.operators.pattern import path_cache_scope
+    with path_cache_scope() as outer:
+        match_pattern(chain, [("?a", "r{1,2}", "?b")]).count()
+        with path_cache_scope() as inner:
+            match_pattern(chain, [("?a", "r{1,3}", "?b")]).count()
+            assert len(inner) == 1
+        assert len(outer) == 1
+
+
 # --- randomized parity vs a pure-Python BGP evaluator --------------------
 
 
@@ -417,6 +448,27 @@ def test_query_kg_job_over_iceberg_lite_store(spark, kg, tmp_path):
                       if '"job"' in ln][-1])
     assert rec["rows"] == 1            # conv:1 / ent:a / tool:t
     assert sorted(rec["variables"]) == ["conv", "e", "t"]
+
+
+def test_parse_pattern_quoted_multiword_constants():
+    """ADVICE-r4: the KG's entity terms ARE multi-word ('ent:home run')
+    — the CLI parser must accept them via shlex quoting."""
+    import os
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "jobs"))
+    try:
+        from query_kg import parse_pattern
+    finally:
+        sys.path.pop(0)
+    got = parse_pattern("?c mentions 'ent:home run' ; ?c rel \"two words\"")
+    assert got == [("?c", "mentions", "ent:home run"),
+                   ("?c", "rel", "two words")]
+    # plain unquoted patterns parse exactly as before
+    assert parse_pattern("?a p ?b") == [("?a", "p", "?b")]
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="bad pattern element"):
+        parse_pattern("?a p 'unbalanced")
 
 
 # --- physical-plan assertions -------------------------------------------
