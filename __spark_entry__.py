@@ -2176,9 +2176,15 @@ def _kg_golden_oracles() -> dict[str, str]:
             FROM j GROUP BY entity
         """,
         "kg_entity_pmi": f"""
-            WITH ents AS (SELECT DISTINCT conv_id, obj AS entity
-                          FROM {rp('kg_triples')}
-                          WHERE pred = 'mentions'),
+            -- one event space for pairs, marginals, AND total: convs
+            -- with <= 10000 distinct entities (the operator's hub cap)
+            WITH ents0 AS (SELECT DISTINCT conv_id, obj AS entity
+                           FROM {rp('kg_triples')}
+                           WHERE pred = 'mentions'),
+            keep AS (SELECT conv_id FROM ents0 GROUP BY conv_id
+                     HAVING COUNT(*) <= 10000),
+            ents AS (SELECT ents0.* FROM ents0
+                     JOIN keep USING (conv_id)),
             tot AS (SELECT COUNT(DISTINCT conv_id) AS n_total FROM ents),
             marg AS (SELECT entity, COUNT(*) AS n_convs FROM ents
                      GROUP BY entity),

@@ -224,22 +224,26 @@ def entity_cooccurrence_pmi(triples: DataFrame, min_pairs: int = 1,
     edge-weighting signal for KG densification (generalizes the flat
     ``co_mentioned`` count the triple extractor already emits).
 
-    PMI = ln(P(a,b) / (P(a)·P(b))) with conversation-level events:
-    P(x) = convs mentioning x / N convs, P(a,b) = convs mentioning both
-    / N. All counts come from ONE deduplicated (conv, entity) relation:
-    a self-join keyed on conv_id for the pair counts (hub conversations
-    above ``max_entities_per_conv`` are excluded, the same fan-out guard
+    PMI = ln(P(a,b) / (P(a)·P(b))) with conversation-level events over
+    ONE coherent event space: conversations with at most
+    ``max_entities_per_conv`` distinct entities (the same fan-out guard
     as ``two_hop_neighbors`` — a conv with E entities contributes E²
-    join rows), a per-entity hash agg for the marginals, and the N-convs
-    total cross-joined as a broadcast 1-row frame (no driver action).
-    Both marginal joins broadcast when the entity vocab is small; AQE
+    self-join rows). Pairs, per-entity marginals, AND the N-convs total
+    all come from that same bounded relation, so P(a,b) and P(a)·P(b)
+    are probabilities of the same universe and PMI stays unbiased when
+    the cap binds (with no hub convs the cap is a no-op and the numbers
+    equal the unbounded definition — the oracle's case). The N-total is
+    cross-joined as a broadcast 1-row frame (no driver action); the
+    marginal joins broadcast when the entity vocab is small, AQE
     decides otherwise. Floats rounded to 6dp (repo cross-engine policy).
 
-    The deduplicated relation is persisted: it fans out to four plan
-    branches (self-join ×2, marginals, total), and recomputing the
+    Caching: the deduplicated (conv, entity) relation fans out to four
+    plan branches (self-join ×2, marginals, total), and recomputing the
     upstream triple extraction (pandas-UDF matmul) per branch would
-    multiply the pipeline's dominant cost; the cached relation is tiny
-    (distinct conv × entity)."""
+    multiply the pipeline's dominant cost — so it is persisted, the
+    RESULT is persisted and materialized, and the intermediate is
+    unpersisted before returning (match_path discipline). The caller
+    owns the returned cache: ``out.unpersist()`` when done."""
     ents = (triples.filter(F.col("pred") == "mentions")
             .select("conv_id", F.col("obj").alias("entity"))
             .distinct().persist())
@@ -255,17 +259,21 @@ def entity_cooccurrence_pmi(triples: DataFrame, min_pairs: int = 1,
                       F.col("r.entity").alias("ent_b"))
              .agg(F.count(F.lit(1)).alias("n_pairs"))
              .filter(F.col("n_pairs") >= min_pairs))
-    marg = ents.groupBy("entity").agg(F.count(F.lit(1)).alias("n_convs"))
-    total = ents.select("conv_id").distinct() \
-        .agg(F.count(F.lit(1)).alias("n_total"))
-    return (pairs
-            .join(marg.select(F.col("entity").alias("ent_a"),
-                              F.col("n_convs").alias("_na")), "ent_a")
-            .join(marg.select(F.col("entity").alias("ent_b"),
-                              F.col("n_convs").alias("_nb")), "ent_b")
-            .crossJoin(F.broadcast(total))
-            .select("ent_a", "ent_b", "n_pairs",
-                    F.round(F.log(F.col("n_pairs").cast("double") *
-                                  F.col("n_total") /
-                                  (F.col("_na").cast("double") *
-                                   F.col("_nb"))), 6).alias("pmi")))
+    marg = bounded.groupBy("entity").agg(
+        F.count(F.lit(1)).alias("n_convs"))
+    total = sizes.agg(F.count(F.lit(1)).alias("n_total"))
+    out = (pairs
+           .join(marg.select(F.col("entity").alias("ent_a"),
+                             F.col("n_convs").alias("_na")), "ent_a")
+           .join(marg.select(F.col("entity").alias("ent_b"),
+                             F.col("n_convs").alias("_nb")), "ent_b")
+           .crossJoin(F.broadcast(total))
+           .select("ent_a", "ent_b", "n_pairs",
+                   F.round(F.log(F.col("n_pairs").cast("double") *
+                                 F.col("n_total") /
+                                 (F.col("_na").cast("double") *
+                                  F.col("_nb"))), 6).alias("pmi"))
+           .persist())
+    out.count()
+    ents.unpersist()
+    return out

@@ -101,11 +101,20 @@ class _EpochDeltaStore:
             with open(marker, "w") as fh:
                 fh.write(self.run_id)
 
+    #: DDL of the per-epoch delta rows; lets read-side calls on a
+    #: freshly-constructed store (no epoch written yet) return empty
+    #: state instead of raising PATH_NOT_FOUND — mirroring
+    #: IncrementalComponentStore.read
+    _DELTA_SCHEMA: str = ""
+
     def _delta(self, batch: DataFrame) -> DataFrame:
         raise NotImplementedError
 
     def _fold(self, deltas: DataFrame) -> DataFrame:
         raise NotImplementedError
+
+    def _empty_deltas(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame([], self._DELTA_SCHEMA)
 
     def _epoch_dir(self, epoch_id) -> str:
         return os.path.join(self.path, DELTA_DIR,
@@ -121,8 +130,12 @@ class _EpochDeltaStore:
 
     def _read_folded(self, spark: SparkSession) -> DataFrame:
         """Fold every delta at the associative grain. Cost is O(sum of
-        delta sizes) — ``compact()`` keeps that bounded."""
-        cur = spark.read.parquet(os.path.join(self.path, DELTA_DIR))
+        delta sizes) — ``compact()`` keeps that bounded. A store with no
+        epoch yet folds the empty delta schema (empty state, no raise)."""
+        deltas = os.path.join(self.path, DELTA_DIR)
+        if not os.path.exists(deltas):
+            return self._fold(self._empty_deltas(spark))
+        cur = spark.read.parquet(deltas)
         return self._fold(cur)
 
     def compact(self, spark: SparkSession) -> int:
@@ -132,6 +145,8 @@ class _EpochDeltaStore:
         delta dir after compaction folded it — double count. Run
         compact() only at a quiesced stream (stopped, or availableNow
         drained), same as the ANN/near-dup maintenance hooks."""
+        if not os.path.exists(os.path.join(self.path, DELTA_DIR)):
+            return 0  # nothing ingested yet — no-op
         folded = self._read_folded(spark)
         deltas = os.path.join(self.path, DELTA_DIR)
         tmp = deltas.rstrip("/") + ".compact_tmp"
@@ -153,6 +168,9 @@ class IncrementalEdgeStore(_EpochDeltaStore):
     """foreachBatch processor maintaining KG edge aggregates as
     per-epoch parquet deltas; see module docstring for the
     exactly-once contract around ``run_id``."""
+
+    _DELTA_SCHEMA = ("src string, dst string, rel string, "
+                     "weight double, n bigint")
 
     def _delta(self, triple_batch: DataFrame) -> DataFrame:
         return build_edges(triple_batch)
@@ -195,12 +213,19 @@ class IncrementalFactStore(_EpochDeltaStore):
                      F.sum("score").alias("sum_score"),
                      F.max("score").alias("max_score")))
 
+    _DELTA_SCHEMA = ("subj string, pred string, obj string, "
+                     "conv_id string, n bigint, n_score bigint, "
+                     "sum_score double, max_score double")
+
     def _read_folded(self, spark: SparkSession) -> DataFrame:
         # mergeSchema: delta dirs written before n_score existed must
         # still read; their rows backfill n_score = n (the legacy code
         # assumed every score non-NULL, so that is its exact semantics)
+        deltas = os.path.join(self.path, DELTA_DIR)
+        if not os.path.exists(deltas):
+            return self._fold(self._empty_deltas(spark))
         cur = (spark.read.option("mergeSchema", "true")
-               .parquet(os.path.join(self.path, DELTA_DIR)))
+               .parquet(deltas))
         if "n_score" not in cur.columns:
             cur = cur.withColumn("n_score", F.col("n"))
         else:

@@ -180,11 +180,15 @@ def test_entity_cooccurrence_pmi(spark):
     assert got[("ent:b", "ent:c")] == (1, round(math.log(4 / 3), 6))
     assert len(got) == 3
     # cap: excluding convs with >2 entities drops c2, so (a,c)/(b,c)
-    # vanish and (a,b) drops to 1 pair; marginals stay corpus-wide
+    # vanish and (a,b) drops to 1 pair — AND (ADVICE-r4) the marginals
+    # and the conv total come from the SAME capped universe, so the PMI
+    # is the unbiased value of that event space: 3 convs remain
+    # (c1,c3,c4), P(ab)=1/3, P(a)=2/3, P(b)=2/3 → ln(1·3/(2·2))
     capped = entity_cooccurrence_pmi(triples, max_entities_per_conv=2) \
         .toPandas()
-    cg = {(r.ent_a, r.ent_b): r.n_pairs for r in capped.itertuples()}
-    assert cg == {("ent:a", "ent:b"): 1}
+    cg = {(r.ent_a, r.ent_b): (r.n_pairs, r.pmi)
+          for r in capped.itertuples()}
+    assert cg == {("ent:a", "ent:b"): (1, round(math.log(3 / 4), 6))}
 
 
 def test_entity_timeline(spark):

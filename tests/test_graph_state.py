@@ -62,6 +62,25 @@ def test_edge_store_fold_equals_batch(spark, tmp_path):
     assert got_deg == want_deg
 
 
+def test_fresh_stores_read_empty_state(spark, tmp_path):
+    """ADVICE-r4: read_edges/read_facts/compact on a freshly-constructed
+    store (no epoch written yet) return empty state / 0 — mirroring
+    IncrementalComponentStore.read — instead of raising PATH_NOT_FOUND."""
+    es = IncrementalEdgeStore(str(tmp_path / "es"))
+    edges = es.read_edges(spark)
+    assert edges.count() == 0
+    assert edges.columns == ["src", "dst", "rel", "weight", "n"]
+    assert es.read_degrees(spark).count() == 0
+    assert es.compact(spark) == 0
+
+    fs = IncrementalFactStore(str(tmp_path / "fs"))
+    facts = fs.read_facts(spark)
+    assert facts.count() == 0
+    assert facts.columns == ["subj", "pred", "obj", "n_support",
+                             "n_convs", "max_score", "mean_score"]
+    assert fs.compact(spark) == 0
+
+
 def test_edge_store_replay_and_compact(spark, tmp_path):
     batches = _edge_batches(spark)
     store = IncrementalEdgeStore(str(tmp_path / "es"))
