@@ -46,6 +46,11 @@ def main() -> None:
     ap.add_argument("--fact-support", action="store_true",
                     help="also materialize the per-fact provenance"
                          " rollup (<out>/fact_support parquet)")
+    ap.add_argument("--partition-triples", action="store_true",
+                    help="also write a predicate-partitioned triple"
+                         " store (<out>/triples_by_pred, Hive layout):"
+                         " BGP constant predicates prune whole"
+                         " partitions instead of filtering row groups")
     ap.add_argument("--resolve", type=float, metavar="THRESHOLD",
                     help="entity resolution: merge entities whose"
                          " linking-space embeddings have cosine >="
@@ -195,6 +200,12 @@ def main() -> None:
             fact_support(triples_src).write.mode(
                 "overwrite").parquet(os.path.join(args.out,
                                                   "fact_support"))
+
+    if args.partition_triples:
+        from duke_spark.sources.triple_store import write_triple_store
+        with metrics.time_stage("partition_triples"):
+            write_triple_store(triples_src,
+                               os.path.join(args.out, "triples_by_pred"))
 
     if args.graph:
         # vertices/edges rebuild from the transcripts (they need the

@@ -81,11 +81,17 @@ def main() -> None:
     from duke_spark.operators.pattern import match_pattern, path_cache_scope
     from duke_spark.sources.iceberg_lite import (is_iceberg_lite_table,
                                                  read_table)
+    from duke_spark.sources.triple_store import read_triple_store
 
     spark = get_spark("query_kg", master=f"local[{args.parallelism}]",
                       shuffle_partitions=max(8, args.parallelism))
     if is_iceberg_lite_table(args.store):
         triples = read_table(spark, args.store)
+    elif os.path.isdir(args.store) and any(
+            e.startswith("pred=") for e in os.listdir(args.store)):
+        # predicate-partitioned store (build_kg --partition-triples):
+        # constant predicates in the pattern prune whole partitions
+        triples = read_triple_store(spark, args.store)
     else:
         triples = spark.read.parquet(args.store)
 

@@ -450,6 +450,31 @@ def test_query_kg_job_over_iceberg_lite_store(spark, kg, tmp_path):
     assert sorted(rec["variables"]) == ["conv", "e", "t"]
 
 
+def test_query_kg_job_over_partitioned_store(spark, kg, tmp_path):
+    """The CLI auto-detects a predicate-partitioned store (build_kg
+    --partition-triples layout) and answers over it."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from duke_spark.sources.triple_store import write_triple_store
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    store = str(tmp_path / "by_pred")
+    write_triple_store(kg, store, coalesce_small=2)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "query_kg.py"),
+         "--store", store,
+         "--pattern", "?conv mentions ?e",
+         "--parallelism", "2"],
+        capture_output=True, text=True, timeout=420)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    rec = json.loads([ln for ln in proc.stdout.splitlines()
+                      if '"job"' in ln][-1])
+    assert rec["rows"] == 3
+    assert sorted(rec["variables"]) == ["conv", "e"]
+
+
 def test_parse_pattern_quoted_multiword_constants():
     """ADVICE-r4: the KG's entity terms ARE multi-word ('ent:home run')
     — the CLI parser must accept them via shlex quoting."""
@@ -496,6 +521,29 @@ def test_pattern_constants_push_to_parquet_scan(spark, kg, tmp_path):
     assert pushed, plan
     assert any("mentions" in ln for ln in pushed), plan
     assert any("used_tool" in ln for ln in pushed), plan
+
+
+def test_partitioned_store_prunes_by_constant_predicate(spark, kg,
+                                                        tmp_path):
+    """VERDICT-r4 #6: over a predicate-partitioned triple store
+    (build_kg --partition-triples layout), a constant-predicate pattern
+    element resolves as PartitionFilters — the scan never opens other
+    predicates' files — and the bindings equal the flat store's."""
+    from duke_spark.sources.triple_store import (read_triple_store,
+                                                 write_triple_store)
+    path = str(tmp_path / "by_pred")
+    write_triple_store(kg, path, coalesce_small=2)
+    stored = read_triple_store(spark, path)
+    # canonical order restored (Hive layout had moved pred last)
+    assert stored.columns == ["subj", "pred", "obj"]
+    pat = [("?c", "mentions", "?e"), ("?e", "used_tool", "?t")]
+    out = match_pattern(stored, pat)
+    plan = _plan(out)
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("mentions" in ln for ln in part), plan
+    assert any("used_tool" in ln for ln in part), plan
+    flat = match_pattern(kg, pat)
+    assert _rows(out) == _rows(flat)
 
 
 def test_negation_is_anti_join_not_filter_scan(kg):
