@@ -40,16 +40,33 @@ from duke_spark.operators.similarity import cosine_near_dup_pairs
 def resolve_entities(vectors: DataFrame, threshold: float = 0.95,
                      num_planes: int = 4, id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     max_bucket: int = 4096) -> DataFrame:
+                     max_bucket: int = 4096,
+                     type_col: str | None = None) -> DataFrame:
     """Total merge map (entity, canonical) over ``vectors``; canonical
     is the minimum entity id of the cosine-similarity component, the
     entity's own id when it has no neighbor ≥ threshold. ``max_bucket``
     caps the per-task pair kernel (block-pair splitting inside hot LSH
-    buckets) without changing the pair set — the 100 TB guard."""
+    buckets) without changing the pair set — the 100 TB guard.
+
+    ``type_col``: optional agreement guard — candidate pairs whose
+    values in this column DIFFER are discarded before the transitive
+    closure, so cosine-of-label is corroborated by independent evidence
+    (canonical ontology type in the KG pipeline) before two surface
+    forms merge. NULL-typed entities never merge (null-rejecting
+    equality, deliberately conservative: no evidence ⇒ no merge). The
+    joins are vertex-cardinality against the candidate pairs."""
     pairs = cosine_near_dup_pairs(vectors, threshold=threshold,
                                   num_planes=num_planes,
                                   vec_col=vec_col, id_col=id_col,
                                   max_bucket=max_bucket)
+    if type_col is not None:
+        t = vectors.select(F.col(id_col), F.col(type_col))
+        pairs = (pairs
+                 .join(t.select(F.col(id_col).alias("a"),
+                                F.col(type_col).alias("_ta")), "a")
+                 .join(t.select(F.col(id_col).alias("b"),
+                                F.col(type_col).alias("_tb")), "b")
+                 .filter(F.col("_ta") == F.col("_tb")))
     comp = connected_components(pairs.select("a", "b"))
     return (vectors.select(F.col(id_col).alias("entity"))
             .join(comp.withColumnRenamed("node", "entity"),
@@ -76,7 +93,8 @@ def apply_entity_merge(triples: DataFrame, merge_map: DataFrame,
 
 def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
                         num_planes: int = 4, prefix: str = "ent:",
-                        max_bucket: int = 4096) -> tuple:
+                        max_bucket: int = 4096,
+                        type_guard: bool = False) -> tuple:
     """Pipeline form: resolve the KG's OWN entities using the link
     context's word embeddings, and rewrite the triples.
 
@@ -90,7 +108,15 @@ def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
     (merge_map_df with (entity, canonical) STRING terms, rewritten
     triples). Labels missing from the embedding vocabulary map to
     themselves (no vector ⇒ no merge evidence).
-    """
+
+    ``type_guard``: corroborate cosine with canonicalization (B6,
+    reference ``Duke/dataset_descriptor.py:65-80``): each label's class
+    scores fold up the ontology tree with the production agg and two
+    labels may only merge when their argmax canonical types AGREE — a
+    high-cosine pair of a person-name and a place-name stays split.
+    Computed in the same embed pass (one extra matmul against the class
+    matrix per batch; vertex-cardinality)."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -101,13 +127,19 @@ def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
              .filter(F.col("t").startswith(prefix)).distinct())
     idx = dense_entity_index(terms, col="t")  # (entity=str, idx)
 
-    vec_schema = T.StructType([
+    fields = [
         T.StructField("vec_id", T.LongType()),
         T.StructField("embedding", T.ArrayType(T.DoubleType())),
-    ])
+    ]
+    if type_guard:
+        fields.append(T.StructField("ctype", T.StringType()))
+    vec_schema = T.StructType(fields)
     plen = len(prefix)
 
     def embed(batches):
+        from duke_spark.kernel.tree import (PRODUCTION_TREE_AGG,
+                                            aggregate_tree_scores)
+        from duke_spark.kernel.vectors import score_against_classes
         ctx = ctx_bc.value
         emb = ctx.embedding
         for pdf in batches:
@@ -124,14 +156,23 @@ def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
             sub = pdf[keep]
             vecs = emb.embed_groups([g for g, k in zip(groups, keep)
                                      if k])
-            yield pd.DataFrame({
-                "vec_id": sub["idx"].to_numpy(),
-                "embedding": [[float(x) for x in v] for v in vecs]})
+            out = {"vec_id": sub["idx"].to_numpy(),
+                   "embedding": [[float(x) for x in v] for v in vecs]}
+            if type_guard:
+                # single-occurrence canonicalization of the surface
+                # form itself: score → tree fold → argmax class
+                scores = score_against_classes(vecs, ctx.class_matrix)
+                out["ctype"] = [
+                    ctx.classes[int(np.argmax(aggregate_tree_scores(
+                        ctx.classes, s, ctx.tree, PRODUCTION_TREE_AGG)))]
+                    for s in scores]
+            yield pd.DataFrame(out)
 
     vectors = idx.mapInPandas(embed, schema=vec_schema)
     id_map = resolve_entities(vectors, threshold=threshold,
                               num_planes=num_planes,
-                              max_bucket=max_bucket)
+                              max_bucket=max_bucket,
+                              type_col="ctype" if type_guard else None)
     # ids → term strings (two joins against the vertex-sized index)
     a = idx.select(F.col("idx").alias("entity"),
                    F.col("entity").alias("ent_str"))

@@ -56,6 +56,10 @@ def main() -> None:
                          " linking-space embeddings have cosine >="
                          " THRESHOLD; writes <out>/merge_map and"
                          " <out>/triples_resolved parquet")
+    ap.add_argument("--resolve-guard", action="store_true",
+                    help="with --resolve: require canonical-type"
+                         " agreement (B6 tree fold) before two labels"
+                         " merge — cosine alone is not merge evidence")
     ap.add_argument("--scale", default="mini", choices=["mini", "reference"],
                     help="embedding/ontology scale: mini (D=32, ~30 classes,"
                          " test fixture) or reference (D=1000, 788 classes —"
@@ -146,7 +150,8 @@ def main() -> None:
             resolve_kg_entities
         with metrics.time_stage("resolve_entities"):
             mm, resolved = resolve_kg_entities(
-                triples_src, ctx_bc, threshold=args.resolve)
+                triples_src, ctx_bc, threshold=args.resolve,
+                type_guard=args.resolve_guard)
             mm.write.mode("overwrite").parquet(
                 os.path.join(args.out, "merge_map"))
             resolved.write.mode("overwrite").parquet(

@@ -134,6 +134,78 @@ def test_resolve_kg_entities_merges_planted_aliases(spark):
                    for r in rows)
 
 
+def test_type_guard_blocks_disagreeing_pairs(spark):
+    """VERDICT-r4 #7: cosine alone is not merge evidence. Four vectors
+    on the SAME direction (cosine 1.0 pairwise): same-typed ids merge,
+    the differently-typed one stays split, the NULL-typed one never
+    merges (conservative: no evidence, no merge)."""
+    v = [1.0] + [0.0] * (DIM - 1)
+    pdf = pd.DataFrame({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [v, v, v, v],
+        "ctype": ["company", "company", "city", None],
+    })
+    df = spark.createDataFrame(pdf)
+    unguarded = {r.entity: r.canonical
+                 for r in resolve_entities(df, threshold=0.99,
+                                           num_planes=0).collect()}
+    assert unguarded == {0: 0, 1: 0, 2: 0, 3: 0}  # all collapse
+    guarded = {r.entity: r.canonical
+               for r in resolve_entities(df, threshold=0.99,
+                                         num_planes=0,
+                                         type_col="ctype").collect()}
+    assert guarded == {0: 0, 1: 0, 2: 2, 3: 3}
+
+
+def test_resolve_kg_type_guard_splits_false_pair(spark):
+    """Pipeline form with type_guard: a planted FALSE pair — two labels
+    with cosine above threshold whose canonical ontology types differ
+    (one leans 'city', the other 'film') — must NOT merge, while the
+    true alias pair (identical direction ⇒ same type) still does."""
+    from duke_spark.fixtures.class_tree import mini_tree
+    from duke_spark.operators.entity_resolution import resolve_kg_entities
+    from duke_spark.operators.linking import LinkContext
+
+    rng = np.random.default_rng(11)
+    u1 = np.zeros(DIM); u1[0] = 1.0
+    u2 = np.zeros(DIM); u2[1] = 1.0
+    m = (u1 + u2) / np.sqrt(2)
+    words = ["acme", "acmecorp", "metropol", "cinema"]
+    vecs = [rng.normal(0, 1, DIM)] * 2  # identical → true aliases
+    vecs = [vecs[0], vecs[0].copy(),
+            m + 0.07 * u1,   # false pair: cosine ≈ 0.9955 ...
+            m + 0.07 * u2]   # ... but argmax type city vs film
+    for w in {w for c in mini_tree() for w in c.split(" ")}:
+        if w == "city":
+            words.append(w); vecs.append(u1)
+        elif w == "film":
+            words.append(w); vecs.append(u2)
+        elif w not in words:
+            # weak random vectors so no other class outranks the planted
+            words.append(w); vecs.append(rng.normal(0, 0.05, DIM))
+    ctx = LinkContext(words, np.asarray(vecs, dtype=np.float32),
+                      mini_tree())
+    ctx_bc = spark.sparkContext.broadcast(ctx)
+
+    triples = spark.createDataFrame(pd.DataFrame(
+        [("conv:1", "mentions", "ent:acme"),
+         ("conv:2", "mentions", "ent:acmecorp"),
+         ("conv:1", "mentions", "ent:metropol"),
+         ("conv:2", "mentions", "ent:cinema")],
+        columns=["subj", "pred", "obj"]))
+    # sanity: without the guard the false pair merges too
+    mm0, _ = resolve_kg_entities(triples, ctx_bc, threshold=0.99)
+    assert {(r.entity, r.canonical) for r in mm0.collect()} == {
+        ("ent:acmecorp", "ent:acme"), ("ent:metropol", "ent:cinema")}
+    mm, resolved = resolve_kg_entities(triples, ctx_bc, threshold=0.99,
+                                       type_guard=True)
+    assert {(r.entity, r.canonical) for r in mm.collect()} == {
+        ("ent:acmecorp", "ent:acme")}
+    rows = {(r.subj, r.pred, r.obj) for r in resolved.collect()}
+    assert ("conv:1", "mentions", "ent:metropol") in rows
+    assert ("conv:2", "mentions", "ent:cinema") in rows
+
+
 def test_merge_then_fact_support_consolidates(spark):
     """Composition: after the rewrite, fact_support counts evidence for
     the CANONICAL fact across its aliases."""
