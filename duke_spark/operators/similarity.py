@@ -208,7 +208,8 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
                           num_planes: int = 4,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id",
-                          max_bucket: int = 4096) -> DataFrame:
+                          max_bucket: int = 4096,
+                          new_col: str | None = None) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold within coordinate-sign
     LSH buckets — the oracle-checkable twin of ``embedding_near_dups``.
     Bucket bits are Catalyst; the pair kernel runs per group in NumPy
@@ -227,21 +228,45 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
     exceeds max_bucket². The pair SET and every cosine are unchanged
     (block pairing is exhaustive within the bucket; cross-block dots
     reuse the same sequential fold), so the SQL oracle needs no
-    max_bucket awareness. Capped-vs-uncapped identity is pytest-pinned."""
+    max_bucket awareness. Capped-vs-uncapped identity is pytest-pinned.
+
+    ``new_col`` (incremental mode, the C41 composition): a boolean
+    column marking this epoch's NEW rows. Only pairs touching at least
+    one new row are emitted — exactly the edge delta an incremental
+    component store needs — and block pairs where NEITHER block holds a
+    new row are pruned before the shuffle (a per-(bucket, block)
+    any-new aggregate, broadcast back), so an epoch against a large
+    history costs O(new × history) candidate work, never
+    O(history²)."""
     bucket = (F.lit(0) if num_planes < 1   # explicit exact full-pairs
               else coord_sign_bucket(vec_col, num_planes))
-    b = df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+    keep = [F.col(id_col), F.col(vec_col), bucket.alias("bucket")]
+    if new_col is not None:
+        keep.append(F.col(new_col).cast("boolean").alias("_new"))
+    b = df.select(*keep)
     counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
     sized = (b.join(F.broadcast(counts), "bucket")
              .withColumn("nb", F.ceil(F.col("cnt") / max_bucket)
                          .cast("int"))
              .withColumn("blk", F.pmod(F.xxhash64(F.col(id_col)),
                                        F.col("nb")).cast("int")))
+    cols = [id_col, vec_col, "bucket", "blk"] + \
+        (["_new"] if new_col is not None else [])
     rep = (sized.select(
-        id_col, vec_col, "bucket", "blk",
+        *cols,
         F.explode(F.sequence(F.lit(0), F.col("nb") - 1)).alias("j"))
         .withColumn("lo", F.least("blk", "j"))
         .withColumn("hi", F.greatest("blk", "j")))
+    if new_col is not None:
+        has_new = (sized.groupBy("bucket", "blk")
+                   .agg(F.max(F.col("_new").cast("int")).alias("_hn")))
+        rep = (rep
+               .join(F.broadcast(has_new), ["bucket", "blk"])
+               .join(F.broadcast(has_new.select(
+                   "bucket", F.col("blk").alias("j"),
+                   F.col("_hn").alias("_hnj"))), ["bucket", "j"])
+               .filter((F.col("_hn") == 1) | (F.col("_hnj") == 1))
+               .drop("_hn", "_hnj"))
 
     schema = T.StructType([
         T.StructField("a", T.LongType()),
@@ -258,6 +283,8 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
         ids = pdf[id_col].to_numpy()[order]
         mat = np.stack(pdf[vec_col].to_numpy()[order]).astype(np.float64)
         nrm = np.sqrt(_seq_sq_norms(mat))
+        new = (pdf["_new"].to_numpy()[order].astype(bool)
+               if new_col is not None else None)
         if lo_blk == hi_blk:
             gram = seq_gram_matrix(mat)
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -265,6 +292,8 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
             iu = np.triu_indices(len(ids), k=1)
             vals = sims[iu]
             mask = vals >= threshold
+            if new is not None:  # pair must touch a new row
+                mask &= new[iu[0]] | new[iu[1]]
             a, bb = ids[iu[0][mask]], ids[iu[1][mask]]
             cos = vals[mask]
         else:
@@ -275,7 +304,10 @@ def cosine_near_dup_pairs(df: DataFrame, threshold: float = 0.95,
             gram = seq_gram_matrix(mat[li], mat[ri])
             with np.errstate(divide="ignore", invalid="ignore"):
                 sims = gram / (nrm[li][:, None] * nrm[ri][None, :])
-            ai, bi = np.nonzero(sims >= threshold)
+            hit = sims >= threshold
+            if new is not None:
+                hit &= new[li][:, None] | new[ri][None, :]
+            ai, bi = np.nonzero(hit)
             x, y = ids[li[ai]], ids[ri[bi]]
             a, bb = np.minimum(x, y), np.maximum(x, y)
             cos = sims[ai, bi]

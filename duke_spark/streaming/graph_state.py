@@ -258,8 +258,11 @@ class IncrementalComponentStore:
     insertions; comp = min node id of the component, the same invariant
     as batch ``connected_components`` (exact parity tested)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, node_type: str = "string"):
+        """``node_type``: DDL type of node ids ("string", "bigint", …) —
+        only used for the empty-state schema before the first epoch."""
         self.path = path
+        self.node_type = node_type
         os.makedirs(path, exist_ok=True)
 
     def _assign_dir(self) -> str:
@@ -268,7 +271,8 @@ class IncrementalComponentStore:
     def read(self, spark: SparkSession) -> DataFrame:
         d = self._assign_dir()
         if not os.path.exists(d):
-            return spark.createDataFrame([], "node string, comp string")
+            return spark.createDataFrame(
+                [], f"node {self.node_type}, comp {self.node_type}")
         return spark.read.parquet(d)
 
     def process(self, pair_batch: DataFrame, epoch_id: int = 0) -> None:

@@ -227,6 +227,28 @@ def test_cosine_pairs_group_sizes_bounded(spark, emb):
     assert len(group_sizes) > 4  # the fat buckets really did split
 
 
+def test_cosine_pairs_new_col_is_exact_delta(spark, emb, emb_pdf):
+    """Incremental mode (new_col): marking a subset NEW emits exactly
+    the full pair set minus the old×old pairs — same cosines — which is
+    what makes the epoch-delta union equal the batch pair set."""
+    from duke_spark.operators.similarity import cosine_near_dup_pairs
+    kw = dict(threshold=0.5, num_planes=2, max_bucket=13)
+    cut = int(emb_pdf["vec_id"].median())
+    flagged = emb.withColumn("_new", F.col("vec_id") > F.lit(cut))
+    delta = cosine_near_dup_pairs(flagged, new_col="_new",
+                                  **kw).toPandas()
+    full = cosine_near_dup_pairs(emb, **kw).toPandas()
+    is_new = dict(zip(emb_pdf["vec_id"],
+                      emb_pdf["vec_id"] > cut))
+    want = full[[is_new[a] or is_new[b]
+                 for a, b in zip(full["a"], full["b"])]]
+    key = ["a", "b"]
+    pd.testing.assert_frame_equal(
+        want.sort_values(key).reset_index(drop=True),
+        delta.sort_values(key).reset_index(drop=True))
+    assert len(delta) < len(full)  # some old×old pairs really dropped
+
+
 def test_ivf_md5_full_probe_equals_exact(spark, emb, emb_pdf):
     from duke_spark.operators.similarity import ivf_cosine_topk_md5
     q = emb_pdf["embedding"].iloc[0]
