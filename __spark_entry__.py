@@ -549,6 +549,21 @@ def entity_resolution_docs(spark, sf_dir):
     return resolve_entities(emb, threshold=0.3, num_planes=4)
 
 
+def entity_resolution_typed_docs(spark, sf_dir):
+    """Type-GUARDED entity resolution (C48 + the r5 agreement check):
+    same LSH-bucketed cosine pairs as entity_resolution_docs, but a
+    candidate pair must also AGREE on a type column before entering the
+    closure — cosine alone is not merge evidence. The type here is the
+    deterministic pseudo-type vec_id % 3, so the oracle re-derives the
+    guard as an extra equality in the pair CTE."""
+    from duke_spark.operators.entity_resolution import resolve_entities
+    emb = (_t(spark, sf_dir, "embeddings")
+           .withColumn("ctype", F.pmod(F.col("vec_id"), F.lit(3))
+                       .cast("string")))
+    return resolve_entities(emb, threshold=0.3, num_planes=4,
+                            type_col="ctype")
+
+
 def q17_json_props(spark, sf_dir):
     """Semi-structured extraction: pull the numeric field out of the
     JSON props column (JVM-side get_json_object — no UDF) and roll up
@@ -1138,7 +1153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_grouped_stats": q6_grouped_stats,
         "q7_masked_mean": q7_masked_mean,
         "q8_derived_rollup": q8_derived_rollup,
-        "q9_sample_cap": q9_sample_cap,
         "q10_region_rollup": q10_region_rollup,
         "q12_anti_join": q12_anti_join,
         "q13_distinct_agg": q13_distinct_agg,
@@ -1153,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters_docs": neardup_clusters_docs,
         "embedding_near_dups_docs": embedding_near_dups_docs,
         "entity_resolution_docs": entity_resolution_docs,
+        "entity_resolution_typed_docs": entity_resolution_typed_docs,
         "token_stats_docs": token_stats_docs,
         "stopword_ratio_docs": stopword_ratio_docs,
         "lang_counts_docs": lang_counts_docs,
@@ -1181,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_support": kg_fact_support,
         "kg_validate": kg_validate,
         # -- slots 51+: driver-green in r4, contract-checked every round --
+        "q9_sample_cap": q9_sample_cap,
         "q11_rollup_sets": q11_rollup_sets,
         "q14_running_total": q14_running_total,
         "q15_monthly_rollup": q15_monthly_rollup,
@@ -1833,6 +1849,33 @@ def oracle_sql() -> dict[str, str]:
             p AS (SELECT l.vec_id AS a, r.vec_id AS b
                   FROM bkt l JOIN bkt r
                     ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+                  WHERE list_dot_product(CAST(l.embedding AS DOUBLE[]),
+                                         CAST(r.embedding AS DOUBLE[]))
+                        / (l.nrm * r.nrm) >= 0.3),
+            e AS (SELECT a AS u, b AS v FROM p
+                  UNION SELECT b, a FROM p),
+            reach(id, lbl) AS (
+                SELECT u, u FROM e
+                UNION
+                SELECT e.u, r.lbl FROM reach r JOIN e ON r.id = e.v),
+            comp AS (SELECT id, MIN(lbl) AS c FROM reach GROUP BY id)
+            SELECT emb.vec_id AS entity,
+                   COALESCE(comp.c, emb.vec_id) AS canonical
+            FROM embeddings emb LEFT JOIN comp ON comp.id = emb.vec_id
+        """,
+        "entity_resolution_typed_docs": f"""
+            WITH RECURSIVE bkt AS (
+                SELECT vec_id, embedding,
+                       ({_coord_bucket_sql('embedding')}) AS bucket,
+                       sqrt(list_dot_product(
+                           CAST(embedding AS DOUBLE[]),
+                           CAST(embedding AS DOUBLE[]))) AS nrm
+                FROM embeddings),
+            -- the type-agreement guard: pairs must share vec_id % 3
+            p AS (SELECT l.vec_id AS a, r.vec_id AS b
+                  FROM bkt l JOIN bkt r
+                    ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+                   AND l.vec_id % 3 = r.vec_id % 3
                   WHERE list_dot_product(CAST(l.embedding AS DOUBLE[]),
                                          CAST(r.embedding AS DOUBLE[]))
                         / (l.nrm * r.nrm) >= 0.3),
