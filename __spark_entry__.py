@@ -749,7 +749,11 @@ def kg_entity_pmi(spark, sf_dir):
     """Entity co-occurrence PMI over the live KG pipeline (extract →
     PMI weighting): conversation-level pointwise mutual information per
     co-mentioned entity pair. Oracle re-derives the counts + ln from the
-    golden triples parquet (same 6dp rounding)."""
+    golden triples parquet (same 6dp rounding).
+
+    The returned frame is a caller-owned cache (already materialized;
+    unpersist when done) — fine here, the driver harness is a
+    per-round process."""
     from duke_spark.operators.graph import entity_cooccurrence_pmi
     from duke_spark.operators.triples import extract_triples
     transcripts = _docs_as_transcripts(spark, sf_dir)

@@ -168,7 +168,13 @@ def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
                     for s in scores]
             yield pd.DataFrame(out)
 
-    vectors = idx.mapInPandas(embed, schema=vec_schema)
+    # persist: the embed pass (the pipeline's dominant matmul, plus the
+    # tree fold under type_guard) fans out to several plan branches —
+    # the pair kernel scans it twice (bucket counts + rows), the type
+    # guard twice more (a/b-side joins), and the total-map tail once;
+    # uncached it would re-embed every label ~5x. Unpersisted below
+    # once str_map is materialized.
+    vectors = idx.mapInPandas(embed, schema=vec_schema).persist()
     id_map = resolve_entities(vectors, threshold=threshold,
                               num_planes=num_planes,
                               max_bucket=max_bucket,
@@ -187,5 +193,6 @@ def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
     # column, and callers typically write both the map and the rewrite —
     # without this the embed+CC pipeline would re-run per consumer
     str_map.count()
+    vectors.unpersist()
     idx.unpersist()
     return str_map, apply_entity_merge(triples, str_map)

@@ -89,15 +89,20 @@ class IncrementalResolutionStore:
         prev = self.vectors.read_vectors(spark)
         union = (prev.withColumn("_new", F.lit(False))
                  .unionByName(batch.withColumn("_new", F.lit(True))))
-        pairs = cosine_near_dup_pairs(union, threshold=self.threshold,
-                                      num_planes=self.num_planes,
-                                      max_bucket=self.max_bucket,
-                                      new_col="_new")
         # a==b only under replay (the epoch's own vectors already in
-        # history); self-loops merge nothing, but cheap to drop
-        self.comp.process(pairs.filter(F.col("a") != F.col("b"))
-                          .select("a", "b"), epoch_id)
+        # history); self-loops merge nothing, but cheap to drop.
+        # persist the delta: comp.process walks it several times
+        # (isEmpty, endpoint labeling x2, reduced-graph CC) and each
+        # walk would otherwise re-run the O(new x history) pair kernel
+        pairs = (cosine_near_dup_pairs(union, threshold=self.threshold,
+                                       num_planes=self.num_planes,
+                                       max_bucket=self.max_bucket,
+                                       new_col="_new")
+                 .filter(F.col("a") != F.col("b"))
+                 .select("a", "b").persist())
+        self.comp.process(pairs, epoch_id)
         self.vectors.process(batch, epoch_id)
+        pairs.unpersist()
         batch.unpersist()
 
     def read_map(self, spark: SparkSession) -> DataFrame:

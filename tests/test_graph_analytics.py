@@ -171,7 +171,9 @@ def test_entity_cooccurrence_pmi(spark):
     triples = spark.createDataFrame(
         pd.DataFrame(rows, columns=["conv_id", "turn_idx", "subj",
                                     "pred", "obj", "score"]))
-    out = entity_cooccurrence_pmi(triples).toPandas()
+    res = entity_cooccurrence_pmi(triples)
+    out = res.toPandas()
+    res.unpersist()  # caller owns the returned cache (docstring)
     got = {(r.ent_a, r.ent_b): (r.n_pairs, r.pmi)
            for r in out.itertuples()}
     # P(ab)=2/4, P(a)=3/4, P(b)=3/4 → pmi = ln(2*4/(3*3))
@@ -184,8 +186,9 @@ def test_entity_cooccurrence_pmi(spark):
     # and the conv total come from the SAME capped universe, so the PMI
     # is the unbiased value of that event space: 3 convs remain
     # (c1,c3,c4), P(ab)=1/3, P(a)=2/3, P(b)=2/3 → ln(1·3/(2·2))
-    capped = entity_cooccurrence_pmi(triples, max_entities_per_conv=2) \
-        .toPandas()
+    res2 = entity_cooccurrence_pmi(triples, max_entities_per_conv=2)
+    capped = res2.toPandas()
+    res2.unpersist()
     cg = {(r.ent_a, r.ent_b): (r.n_pairs, r.pmi)
           for r in capped.itertuples()}
     assert cg == {("ent:a", "ent:b"): (1, round(math.log(3 / 4), 6))}

@@ -23,8 +23,10 @@ def _vec_batches(seed=3, n_batches=3, per_batch=12):
     for b in range(n_batches):
         rows = []
         for j in range(per_batch):
-            if j % 3 == 0:   # alias of a planted seed (possibly earlier)
-                v = seeds[j % len(seeds)] + rng.normal(0, 0.005, DIM)
+            if j % 3 == 0:   # alias of a planted seed (possibly earlier);
+                # (j // 3) cycles the seed index so EVERY batch plants
+                # aliases of all three clusters, not just cluster 0
+                v = seeds[(j // 3) % len(seeds)] + rng.normal(0, 0.005, DIM)
             else:            # background point
                 v = rng.normal(0, 1, DIM)
             rows.append((nxt, [float(x) for x in v]))
