@@ -122,8 +122,12 @@ def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
 
     from duke_spark.operators.kg_train import dense_entity_index
 
-    terms = (triples.select(F.col("subj").alias("t"))
-             .unionByName(triples.select(F.col("obj").alias("t")))
+    # one scan, not a self-union: explode([subj, obj]) enumerates both
+    # positions from a single pass over the fact table (the distinct
+    # output is vertex-sized either way, but the union form scanned the
+    # 100 TB side twice)
+    terms = (triples
+             .select(F.explode(F.array("subj", "obj")).alias("t"))
              .filter(F.col("t").startswith(prefix)).distinct())
     idx = dense_entity_index(terms, col="t")  # (entity=str, idx)
 
@@ -192,7 +196,13 @@ def resolve_kg_entities(triples: DataFrame, ctx_bc, threshold: float,
     # materialize the (vertex-sized) map once: the rewrite joins it per
     # column, and callers typically write both the map and the rewrite —
     # without this the embed+CC pipeline would re-run per consumer
-    str_map.count()
+    n_merges = str_map.count()
     vectors.unpersist()
     idx.unpersist()
+    # empty map ⇒ the rewrite is the identity: skip the per-column joins
+    # (and let callers skip re-materializing the fact table — at 100 TB
+    # an identity copy of the triples is the most expensive no-op in the
+    # pipeline). The count is already in hand from the persist above.
+    if n_merges == 0:
+        return str_map, triples
     return str_map, apply_entity_merge(triples, str_map)

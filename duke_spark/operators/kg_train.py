@@ -53,17 +53,23 @@ def dense_entity_index(entities: DataFrame, col: str = "entity",
     """
     spark = entities.sparkSession
     P = num_partitions or spark.sparkContext.defaultParallelism
-    # persist BEFORE the counts collect: repartitionByRange samples its
-    # bounds from upstream row order, which is shuffle-nondeterministic,
-    # so the counts job and the index job MUST see the same partitioning
-    # — the standard zipWithIndex mitigation
-    s = (entities.select(F.col(col).alias("entity")).distinct()
-         .repartitionByRange(P, "entity")
+    # persist the distinct DOMAIN first: repartitionByRange runs a
+    # separate range-bound SAMPLING job over its child, which would
+    # otherwise recompute the whole upstream distinct (a second scan of
+    # the fact table when called from resolve_kg_entities) — and its
+    # sample must see the same rows as the fill. Then persist the
+    # range-partitioned result BEFORE the counts collect: the counts
+    # job and the index job MUST see the same partitioning — the
+    # standard zipWithIndex mitigation.
+    dom = entities.select(F.col(col).alias("entity")).distinct().persist()
+    dom.count()
+    s = (dom.repartitionByRange(P, "entity")
          .sortWithinPartitions("entity")
          .withColumn("_pid", F.spark_partition_id())
          .persist())
     counts = {r["_pid"]: r["cnt"] for r in
               s.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    dom.unpersist()
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc

@@ -152,17 +152,21 @@ def main() -> None:
             mm, resolved = resolve_kg_entities(
                 triples_src, ctx_bc, threshold=args.resolve,
                 type_guard=args.resolve_guard)
+            n_merged = mm.count()  # persisted inside resolve_kg_entities
             mm.write.mode("overwrite").parquet(
                 os.path.join(args.out, "merge_map"))
-            resolved.write.mode("overwrite").parquet(
-                os.path.join(args.out, "triples_resolved"))
+            if n_merged:
+                resolved.write.mode("overwrite").parquet(
+                    os.path.join(args.out, "triples_resolved"))
             mm.unpersist()
-            metrics.record("resolve_merged",
-                           rows=spark.read.parquet(
-                               os.path.join(args.out,
-                                            "merge_map")).count())
-        triples_src = spark.read.parquet(
-            os.path.join(args.out, "triples_resolved"))
+            metrics.record("resolve_merged", rows=n_merged,
+                           rewrite="written" if n_merged
+                           else "skipped (identity: 0 merges)")
+        if n_merged:
+            triples_src = spark.read.parquet(
+                os.path.join(args.out, "triples_resolved"))
+        # else: resolved IS triples_src (identity map) — downstream
+        # stages keep reading the checkpoint store directly
 
     if args.export_nt:
         from duke_spark.operators.rdf import write_ntriples

@@ -56,16 +56,41 @@ def _gemm_unit(_):
     return time.time() - t0
 
 
+def _gemm_warm(_):
+    # spawn-pool warmup: pay the numpy import + BLAS init outside the
+    # timed section (takes one tiny matmul to fault the code paths in)
+    import numpy as np
+    x = np.ones((8, 8), dtype="float32")
+    (x @ x).sum()
+    return os.getpid()
+
+
 def gemm_ceiling(levels=LEVELS, units: int = 32) -> dict:
     """Hardware calibration: aggregate GFLOP/s of an embarrassingly
     parallel float32 GEMM (the linking kernel's dominant op) at each
-    process count — the best any engine could scale on this box."""
-    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
-    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    process count — the best any engine could scale on this box.
+
+    Workers are SPAWNED, not forked: OpenBLAS reads its thread-count
+    env at library load, so a fork inherits whatever threading the
+    parent's already-imported numpy initialized (when main() synthesizes
+    the input first, numpy loads BEFORE this function pins the env, and
+    a forked control then runs multi-threaded GEMMs — measured as an
+    absurd 313 GFLOP/s "4-proc" ceiling in the round-5 window). A
+    spawned child imports numpy fresh under the pinned environment."""
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["OMP_NUM_THREADS"] = "1"
+    ctx = mp.get_context("spawn")
     out = {}
     flops = units * 10 * 2 * 5000 * 1000 * 788
     for n in levels:
-        with mp.Pool(n) as pool:
+        with ctx.Pool(n) as pool:
+            # touch every worker at least once before timing (bounded:
+            # a straggler that still cold-starts in the timed region
+            # costs ~0.2 s of import on a tens-of-seconds measurement)
+            for _ in range(3):
+                if len(set(pool.map(_gemm_warm, range(4 * n),
+                                    chunksize=1))) >= n:
+                    break
             t0 = time.time()
             pool.map(_gemm_unit, range(units))
             out[str(n)] = round(flops / (time.time() - t0) / 1e9, 1)

@@ -129,9 +129,18 @@ def test_build_kg_job_validate_and_fact_support(tmp_path):
     assert "resolve_merged" in rec["stages"]
     assert (out / "violations").exists()
     assert (out / "fact_support").exists()
-    # composition: validate/fact-support consumed the RESOLVED triples
-    assert (out / "triples_resolved").exists()
     assert (out / "merge_map").exists()
+    # composition: validate/fact-support consume the RESOLVED triples —
+    # and when resolution merges nothing the identity rewrite is
+    # SKIPPED (no triples_resolved copy; downstream reads the
+    # checkpoint store, which is byte-identical by definition)
+    n_merged = rec["stages"]["resolve_merged"]["rows"]
+    if n_merged:
+        assert (out / "triples_resolved").exists()
+    else:
+        assert rec["stages"]["resolve_merged"]["rewrite"].startswith(
+            "skipped")
+        assert not (out / "triples_resolved").exists()
 
 
 # --- fact_support --------------------------------------------------------
