@@ -140,6 +140,13 @@ def main() -> None:
                    triples_per_sec=n_triples / elapsed if elapsed else 0.0,
                    turns=n_turns, parallelism=args.parallelism,
                    skipped_parts=res["skipped"])
+    if not args.graph:
+        # extraction is the only consumer (--graph rebuilds from the
+        # transcripts later); a turn-cardinality cache held across the
+        # post stages squeezes the heap their aggregation hash tables
+        # need — measured as fact_support running ~50% slower in-job
+        # than standalone on the same input
+        transcripts.unpersist()
 
     # --resolve runs FIRST among the post-processing stages: when set,
     # export/validate/fact-support all consume the RESOLVED triples

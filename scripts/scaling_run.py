@@ -130,6 +130,13 @@ def run_level(parallelism: int, input_path: str, out_root: str,
                MKL_NUM_THREADS="1",
                MALLOC_MMAP_THRESHOLD_="1073741824",
                MALLOC_TRIM_THRESHOLD_="1073741824")
+    # heap scales WITH the cluster size, as it does on a real cluster:
+    # N→4N executors bring 4× executor memory along with 4× cores. A
+    # fixed local-mode heap instead makes 4N concurrent tasks share the
+    # same N-sized heap — the aggregation stages then GC/spill at high
+    # parallelism only, understating scaling for a reason no real
+    # cluster has. 2 GiB/core (min 8 GiB), explicit env overrides win.
+    env.setdefault("DUKE_SPARK_DRIVER_MEM", f"{max(8, 2 * parallelism)}g")
     best = None
     runs = []
     for i in range(repeat):
@@ -149,8 +156,7 @@ def run_level(parallelism: int, input_path: str, out_root: str,
                          "--validate", "--fact-support"]
         if spark_submit:
             cmd = ["spark-submit", "--master", f"local[{parallelism}]",
-                   "--driver-memory",
-                   os.environ.get("DUKE_SPARK_DRIVER_MEM", "8g"),
+                   "--driver-memory", env["DUKE_SPARK_DRIVER_MEM"],
                    "--py-files", os.path.join(REPO, "dist",
                                               "duke_spark.zip"),
                    os.path.join(REPO, "jobs", "build_kg.py")] + job_args
